@@ -1,0 +1,152 @@
+"""Compiled pattern registry — rebuild of logagent-js's LogAnalyzer
+pattern machinery (/root/reference/lib/parser/parser.js:43-196 and
+patterns.yml loading via /root/reference/lib/parser/mergePatternFiles.js).
+
+The registry is built ONCE per worker process (module-level cache keyed by
+file path + mtime — the Ray-side analogue of logagent's per-process
+LogParser instance) and holds:
+
+  * ordered pattern groups, each gated by a ``source`` regex over the
+    event's ``logSource`` (parser.js:170-196 routing), containing ordered
+    match entries (first-match-wins, patterns.yml:77-79);
+  * per-entry compiled regex (RE2 via pyarrow at batch time, ``re`` for
+    the pure-Python oracle), type map, date field/format, transform name;
+  * the union OUTPUT SCHEMA of all extracted fields — the rebuild of
+    logagent's dynamic per-pattern schema as a fixed, nullable Arrow
+    schema (SURVEY.md §1.4).
+
+User pattern files are merged BEFORE the defaults, mirroring
+mergePatternFiles.js:48 (user patterns prepended).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import yaml
+
+DEFAULT_PATTERNS = os.path.join(os.path.dirname(__file__), "patterns.yml")
+
+# Common-schema columns added by the parse stage to every row
+# (SURVEY.md §1.4; fallback record parser.js:559-564).
+COMMON_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("message", pa.string()),
+    ("@timestamp", pa.timestamp("us")),
+    ("logSource", pa.string()),
+    ("_type", pa.string()),
+    ("severity", pa.string()),
+]
+
+# Fields the JSON fast path may promote to top-level columns
+# (parser.js:390-468 + bunyan mapping :424-439). Extra JSON keys land in
+# the ``fields_json`` overflow column.
+JSON_PROMOTED: dict[str, pa.DataType] = {
+    "counter": pa.float64(),
+    "service": pa.string(),
+    "pid": pa.float64(),
+}
+
+
+@dataclass
+class MatchEntry:
+    type: str
+    regex: str
+    fields: list[str]
+    types: dict[str, str]
+    datefield: str | None
+    dateformat: str | None
+    transform: str | None
+    input_drop: str | None = None
+    input_filter: str | None = None
+    compiled: re.Pattern = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        self.compiled = re.compile(self.regex)
+
+
+@dataclass
+class PatternGroup:
+    source: str
+    match: list[MatchEntry]
+    compiled_source: re.Pattern = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        self.compiled_source = re.compile(self.source)
+
+
+class PatternRegistry:
+    def __init__(self, paths: list[str] | None = None):
+        paths = list(paths or []) + [DEFAULT_PATTERNS]  # user files first
+        self.groups: list[PatternGroup] = []
+        self.autohash: str | None = None
+        for p in paths:
+            with open(p) as f:
+                doc = yaml.safe_load(f) or {}
+            if doc.get("autohash") and not self.autohash:
+                self.autohash = doc["autohash"]
+            for g in doc.get("patterns", []):
+                entries = []
+                for m in g.get("match", []):
+                    rx = m["regex"]
+                    names = list(re.compile(rx).groupindex.keys())
+                    entries.append(MatchEntry(
+                        type=m["type"], regex=rx, fields=names,
+                        types=m.get("types") or {},
+                        datefield=m.get("datefield"),
+                        dateformat=m.get("dateformat"),
+                        transform=m.get("transform"),
+                        input_drop=m.get("inputDrop"),
+                        input_filter=m.get("inputFilter"),
+                    ))
+                self.groups.append(PatternGroup(source=g.get("source", ".*"),
+                                                match=entries))
+
+    def entries_for_source(self, log_source: str) -> list[MatchEntry]:
+        """Pattern subset whose source regex matches (parser.js:170-196)."""
+        out: list[MatchEntry] = []
+        for g in self.groups:
+            if g.compiled_source.search(log_source):
+                out.extend(g.match)
+        return out
+
+    def all_entries(self) -> list[MatchEntry]:
+        return [m for g in self.groups for m in g.match]
+
+    def extracted_field_types(self) -> dict[str, pa.DataType]:
+        """Union of every pattern's extracted fields (minus consumed ts
+        fields, deleted after date parse per parser.js:322-332), plus the
+        JSON-promoted fields — the fixed nullable output schema."""
+        out: dict[str, pa.DataType] = {}
+        for e in self.all_entries():
+            for name in e.fields:
+                if name == e.datefield:
+                    continue  # raw ts field is deleted after parsing
+                t = e.types.get(name)
+                out[name] = pa.float64() if t == "number" else pa.string()
+            # transforms may add derived numeric fields
+            if e.transform == "syslog_pri":
+                out["facility"] = pa.float64()
+        for name, t in JSON_PROMOTED.items():
+            out.setdefault(name, t)
+        return out
+
+    def output_schema_fields(self) -> list[tuple[str, pa.DataType]]:
+        skip = {"msg_text"}  # consumed by transforms into `message`
+        extracted = [(k, v) for k, v in sorted(self.extracted_field_types().items())
+                     if k not in skip]
+        return COMMON_FIELDS + extracted + [("fields_json", pa.string())]
+
+
+_CACHE: dict[tuple, PatternRegistry] = {}
+
+
+def load_registry(paths: list[str] | None = None) -> PatternRegistry:
+    """Per-process cached registry (the analogue of logagent's single
+    LogParser instance; parser.js:48-49)."""
+    key = tuple(paths or [])
+    if key not in _CACHE:
+        _CACHE[key] = PatternRegistry(list(key) or None)
+    return _CACHE[key]

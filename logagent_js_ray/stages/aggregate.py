@@ -1,0 +1,83 @@
+"""Aggregate stage — rebuild of logagent-js's ``sql`` output filter
+(/root/reference/lib/plugins/output-filter/sql.js:10-97), its only
+aggregation operator: a tumbling window group-by over buffered events
+(``SELECT SUM(size), path FROM ? GROUP BY path`` every N seconds).
+
+Deterministic deviation (SURVEY.md §7.5): the reference windows on
+PROCESSING time (setInterval, sql.js:13); the rebuild buckets on EVENT
+time derived from the input ``ts``/``@timestamp`` column
+(``pc.floor_temporal``), which makes results reproducible and
+SQL-checkable.
+
+Scale design: a bare ``groupby().aggregate()`` shuffles every row.
+``agg_counts`` pre-aggregates INSIDE ``map_batches`` (one row per key per
+batch) and only shuffles the partials — the combiner pattern. This is
+also the skew answer for counting: a hot ``conv_id``/sink key contributes
+at most one partial row per block, so no salting is needed for the
+aggregate path (hot keys still matter for ``map_groups``; see
+``salt_column`` for that).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def add_time_bucket(batch: pa.Table, ts_col: str = "@timestamp",
+                    unit: str = "hour",
+                    out_col: str = "time_bucket") -> pa.Table:
+    bucket = pc.floor_temporal(batch[ts_col], unit=unit)
+    return batch.append_column(out_col, bucket)
+
+
+def make_time_bucket_fn(ts_col: str = "@timestamp", unit: str = "hour",
+                        out_col: str = "time_bucket"):
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return add_time_bucket(batch, ts_col, unit, out_col)
+    return _bucket
+
+
+def _partial_fn(keys: list[str], sum_cols: list[str]):
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, dropna=False, sort=False)
+        out = g.size().rename("n").reset_index()
+        if sum_cols:
+            sums = g[sum_cols].sum(min_count=1).reset_index(drop=True)
+            for c in sum_cols:
+                out[f"sum_{c}"] = sums[c]
+        return out
+    return _partial
+
+
+def agg_counts(ds: "ray.data.Dataset", keys: list[str],
+               sum_cols: list[str] | None = None,
+               batch_size: int = 65536) -> "ray.data.Dataset":
+    """count(*) (+ optional sums) by ``keys`` with per-block partial
+    combine, then a small shuffle over the partials."""
+    sum_cols = sum_cols or []
+    partials = ds.map_batches(_partial_fn(keys, sum_cols),
+                              batch_format="pandas", batch_size=batch_size)
+    aggs = [Sum("n", alias_name="n")]
+    for c in sum_cols:
+        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}", ignore_nulls=True))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def salt_column(batch: pa.Table, key_col: str, buckets: int = 16,
+                salt_col: str = "_salt") -> pa.Table:
+    """Append ``hash(key) % buckets`` — used to split a hot key's rows
+    across ``buckets`` sub-groups before a ``map_groups``/shuffle, merged
+    by a second, tiny aggregate (north_rule's skew-aware salting)."""
+    import numpy as np
+    import zlib
+    keys = batch[key_col].to_pylist()
+    n = batch.num_rows
+    # deterministic per-row sub-bucket: hash(key) mixed with row position
+    salts = np.array([(zlib.crc32(str(k).encode()) + i) % buckets
+                      for i, k in enumerate(keys)], dtype=np.int32)
+    return batch.append_column(salt_col, pa.array(salts, pa.int32()))

@@ -1,0 +1,89 @@
+"""Enrich stage — rebuild of logagent-js's lookup-join output filters
+(SURVEY.md §2.5: kubernetes-enrichment, docker-enrichment, geoip, …).
+
+Every reference enrichment is a broadcast/cached LOOKUP join against a
+side-loaded resource — never a shuffle join
+(/root/reference/lib/plugins/output-filter/kubernetes-enrichment.js:230-290,
+docker-log-enrichment.js:50-149, geoip.js:20-53). The rebuild is a
+STATEFUL ACTOR POOL: the lookup table is ``ray.put`` once on the driver
+and each actor resolves it ONCE in ``__init__`` (the analogue of the
+reference's module-level LRU caches, SURVEY.md §3.4), then every batch is
+a vectorized dictionary-encode + take against the in-memory arrays.
+
+Also carries the docker-enrichment severity autodetect: error/warning
+regex over the first 80 chars of the message
+(docker-log-enrichment.js:127-142), vectorized.
+
+Usage:
+    ref = put_lookup(table_or_path)          # driver, once
+    ds = ds.map_batches(Enricher, fn_constructor_kwargs={"lookup_ref": ref,
+                        "key": "tool", "columns": [...]},
+                        batch_format="pyarrow", concurrency=(2, 8))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+SEVERITY_DETECT_WINDOW = 80  # docker-log-enrichment.js:15-48 scans a prefix
+
+
+def put_lookup(table_or_path) -> "ray.ObjectRef":
+    """Broadcast the small dimension table once (ray.put); workers read it
+    zero-copy from the object store instead of re-shipping per batch."""
+    if isinstance(table_or_path, str):
+        table_or_path = pq.read_table(table_or_path)
+    return ray.put(table_or_path)
+
+
+class Enricher:
+    """Actor-pool callable: broadcast-lookup enrichment keyed on ``key``."""
+
+    def __init__(self, lookup_ref, key: str, columns: list[str] | None = None,
+                 detect_severity: bool = False):
+        lookup: pa.Table = ray.get(lookup_ref) if not isinstance(
+            lookup_ref, pa.Table) else lookup_ref
+        self.key = key
+        self.columns = columns or [c for c in lookup.column_names if c != key]
+        # build the index once per actor (kubernetes-enrichment.js's LRU
+        # cache analogue, but immutable for a batch run)
+        keys = lookup[key].to_pylist()
+        self.index = {k: i for i, k in enumerate(keys)}
+        self.values = {c: lookup[c].combine_chunks() for c in self.columns}
+        self.detect_severity = detect_severity
+        if detect_severity:
+            import re
+            # docker-log-enrichment.js:15-20 errorRegex/warningRegex
+            self.err_re = re.compile(r"(?i)\b(error|exception|fail|fatal)\b")
+            self.warn_re = re.compile(r"(?i)\b(warn|warning)\b")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kcol = batch[self.key].to_pylist()
+        idx = np.array([self.index.get(k, -1) for k in kcol], dtype=np.int64)
+        found = idx >= 0
+        take_idx = pa.array(np.where(found, idx, 0),
+                            mask=~found)  # null where no match
+        out = batch
+        for c in self.columns:
+            out = out.append_column(c, self.values[c].take(take_idx))
+        if self.detect_severity and "severity" in out.column_names:
+            msg = out["message"] if "message" in out.column_names else out["text"]
+            head = pc.utf8_slice_codeunits(msg, 0, SEVERITY_DETECT_WINDOW)
+            head_np = head.to_numpy(zero_copy_only=False)
+            det = np.full(len(head_np), None, dtype=object)
+            for i, h in enumerate(head_np):
+                if h is None:
+                    continue
+                if self.err_re.search(h):
+                    det[i] = "error"
+                elif self.warn_re.search(h):
+                    det[i] = "warning"
+            sev_idx = out.schema.get_field_index("severity")
+            merged = pc.coalesce(out["severity"], pa.array(det, pa.string()))
+            out = out.set_column(sev_idx, "severity", merged)
+        return out

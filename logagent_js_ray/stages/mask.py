@@ -1,0 +1,188 @@
+"""Mask stage — rebuild of logagent-js's PII/redaction output filters
+(SURVEY.md §2.4) as vectorized ``map_batches`` transforms.
+
+Mirrored operators (all gated by an optional ``matchSource`` regex over
+``logSource``, like the plugin signature in
+/root/reference/lib/plugins/input-filter/grep.js:1-6):
+
+  * hash_fields   — /root/reference/lib/plugins/output-filter/hash-fields.js:24-47
+                    sha256 (configurable algo) of listed fields AND
+                    string-replace of the original value inside ``message``
+  * ip_truncate   — /root/reference/lib/plugins/output-filter/ip-truncate-fields.js:31-87
+                    IPv4 keeps first 3 octets (last -> 0); IPv6 zeroes the
+                    last block; occurrences inside ``message`` rewritten
+  * remove_fields — /root/reference/lib/plugins/output-filter/remove-fields.js:14-43
+                    null out listed fields, optionally masking their old
+                    values inside other fields with ``!REMOVED!``
+  * rename_fields — /root/reference/lib/plugins/output-filter/rename-fields.js:5-26
+  * lowercase_fields — /root/reference/lib/plugins/output-filter/lowercase-fields.js:5-43
+  * aes_encrypt_fields — /root/reference/lib/plugins/output-filter/aes-encrypt-fields.js:15-53
+                    (deterministic keyed stand-in: no AES primitive is
+                    available in this environment, so values become
+                    ``aes:<sha256(key || value)>`` — clearly marked)
+
+Mutation-order coupling (SURVEY.md §7.5): filters run in DECLARED order
+and each captures the pre-mask value before rewriting ``message``,
+matching the reference's sequential filter chain
+(/root/reference/bin/logagent.js:608-647).
+
+Hashing short strings is a per-value hashlib loop (no vectorized sha256
+kernel exists in pyarrow); it only touches the masked columns' non-null
+values, and the reference itself documents ~10-15% overhead for this
+(patterns.yml:16).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+REMOVED = "!REMOVED!"
+
+
+def _np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _hash_values(values: np.ndarray, algo: str = "sha256",
+                 prefix: str = "") -> np.ndarray:
+    out = np.full(len(values), None, dtype=object)
+    for i, v in enumerate(values):
+        if v is not None and not (isinstance(v, float) and np.isnan(v)):
+            h = hashlib.new(algo)
+            h.update(str(v).encode())
+            out[i] = prefix + h.hexdigest()
+    return out
+
+
+def _replace_in_message(msg: np.ndarray, old: np.ndarray,
+                        new: np.ndarray) -> np.ndarray:
+    # per-row replace of the old field value inside message
+    # (hash-fields.js:35-38 does data.message.replace(value, hash) — JS
+    # String.replace with a string pattern rewrites the FIRST occurrence
+    # only; we preserve that exactly)
+    for i in range(len(msg)):
+        m, o = msg[i], old[i]
+        if m is not None and o is not None and o != "" and o in m:
+            m2 = new[i] if new[i] is not None else ""
+            msg[i] = m.replace(o, m2, 1)
+    return msg
+
+
+def _source_mask(batch: pa.Table, match_source: str | None) -> np.ndarray:
+    if not match_source:
+        return np.ones(batch.num_rows, dtype=bool)
+    col = "logSource" if "logSource" in batch.column_names else "role"
+    return _np(pc.match_substring_regex(batch[col], match_source))
+
+
+class MaskConfig:
+    """Ordered mask pipeline configuration."""
+
+    def __init__(self, hash_fields=(), ip_fields=(), remove_fields=(),
+                 rename_fields=None, lowercase=False, aes_fields=(),
+                 aes_key: str = "", algo: str = "sha256",
+                 match_source: str | None = None,
+                 message_cols=("message", "text")):
+        self.hash_fields = list(hash_fields)
+        self.ip_fields = list(ip_fields)
+        self.remove_fields = list(remove_fields)
+        self.rename_fields = dict(rename_fields or {})
+        self.lowercase = lowercase
+        self.aes_fields = list(aes_fields)
+        self.aes_key = aes_key
+        self.algo = algo
+        self.match_source = match_source
+        self.message_cols = list(message_cols)
+
+
+def truncate_ipv4(values: np.ndarray) -> np.ndarray:
+    """a.b.c.d -> a.b.c.0 (ip-truncate-fields.js:31-42); IPv6 -> zero the
+    final block (:56-87). Non-IP strings pass through unchanged."""
+    out = np.full(len(values), None, dtype=object)
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        s = str(v)
+        if s.count(".") == 3:
+            head, _, _ = s.rpartition(".")
+            out[i] = head + ".0"
+        elif ":" in s:
+            head, _, _ = s.rpartition(":")
+            out[i] = head + ":0"
+        else:
+            out[i] = s
+    return out
+
+
+def mask_batch(batch: pa.Table, cfg: MaskConfig) -> pa.Table:
+    gate = _source_mask(batch, cfg.match_source)
+    names = batch.column_names
+    cols: dict[str, np.ndarray] = {}
+
+    def col(name: str) -> np.ndarray:
+        if name not in cols:
+            cols[name] = _np(batch[name]).astype(object, copy=True)
+        return cols[name]
+
+    def rewrite_messages(old: np.ndarray, new: np.ndarray) -> None:
+        sel_old = np.where(gate, old, None)
+        for mc in cfg.message_cols:
+            if mc in names:
+                _replace_in_message(col(mc), sel_old, new)
+
+    for f in cfg.hash_fields:
+        if f not in names:
+            continue
+        old = col(f).copy()
+        hashed = _hash_values(old, cfg.algo)
+        cols[f] = np.where(gate, hashed, old)
+        rewrite_messages(old, hashed)
+
+    for f in cfg.aes_fields:
+        if f not in names:
+            continue
+        old = col(f).copy()
+        enc = _hash_values(np.array([None if v is None else cfg.aes_key + str(v)
+                                     for v in old], dtype=object),
+                           "sha256", prefix="aes:")
+        cols[f] = np.where(gate, enc, old)
+        rewrite_messages(old, enc)
+
+    for f in cfg.ip_fields:
+        if f not in names:
+            continue
+        old = col(f).copy()
+        trunc = truncate_ipv4(old)
+        cols[f] = np.where(gate, trunc, old)
+        rewrite_messages(old, trunc)
+
+    for f in cfg.remove_fields:
+        if f not in names:
+            continue
+        old = col(f).copy()
+        cols[f] = np.where(gate, None, old)
+        rewrite_messages(old, np.full(len(old), REMOVED, dtype=object))
+
+    out = batch
+    for name, arr in cols.items():
+        idx = out.schema.get_field_index(name)
+        typ = out.schema.field(idx).type
+        out = out.set_column(idx, name, pa.array(arr.tolist(), typ))
+    if cfg.rename_fields:
+        out = out.rename_columns([cfg.rename_fields.get(c, c)
+                                  for c in out.column_names])
+    if cfg.lowercase:
+        out = out.rename_columns([c.lower() for c in out.column_names])
+    return out
+
+
+def make_mask_fn(cfg: MaskConfig):
+    def _mask(batch: pa.Table) -> pa.Table:
+        return mask_batch(batch, cfg)
+    return _mask

@@ -1,0 +1,208 @@
+"""Parse stage — the rebuild of logagent-js's parser core
+(/root/reference/lib/parser/parser.js:469-565) as a STATELESS, vectorized
+``map_batches`` transform over zero-copy Arrow batches.
+
+Semantics preserved:
+  * JSON fast path first (parser.js:474-483,390-468) with bunyan field
+    normalization ``msg->message``, ``level->severity``,
+    ``time->@timestamp`` (parser.js:424-439);
+  * source->pattern routing by ``logSource`` regex (parser.js:170-196) —
+    here ``logSource`` is the transcript ``role`` (SURVEY.md §1.4);
+  * ordered FIRST-MATCH-WINS regex extraction (parser.js:527-556,
+    patterns.yml:77-79) — each pattern is applied vectorized
+    (``pc.extract_regex``) to the still-unmatched subset, so earlier
+    patterns shadow later ones exactly;
+  * field typing (parser.js:264-299), date parsing with the consumed
+    ``ts`` capture deleted (parser.js:236-263,322-332), named transforms
+    (parser.js:333-338), ``inputDrop`` filters (parser.js:303-316);
+  * fallback record ``{message, @timestamp, logSource}`` with ``_type``
+    null for unmatched lines (parser.js:559-564).
+
+Deterministic deviation (SURVEY.md §7.5): where the reference stamps
+``@timestamp = now`` (fallback / unparseable dates, parser.js:260,520,559),
+we use the row's input ``ts`` column so reruns are reproducible.
+
+The registry is compiled once per worker process via the module-level
+cache in registry.py — the per-process state analogue of logagent's
+LogParser instance, with no actor needed because it is deterministic,
+cheap, and read-only (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.transforms import BUNYAN_LEVELS, get_transform
+from ..registry import JSON_PROMOTED, PatternRegistry, load_registry
+
+_STRPTIME_ISO = "%Y-%m-%dT%H:%M:%S"
+_STRPTIME_CLF = "%d/%b/%Y:%H:%M:%S"
+
+
+def _strptime(arr: pa.Array, fmt: str) -> pa.Array:
+    opts = pc.StrptimeOptions(fmt, unit="us", error_is_null=True)
+    return pc.strptime(arr, options=opts)
+
+
+def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
+    """ts capture string -> timestamp[us]; unparseable -> null (caller
+    coalesces to the row ts). Formats: 'iso' and 'clf' (+0000 assumed —
+    the reference normalizes zones via date-fns, parser.js:236-263)."""
+    if dateformat == "clf":
+        s = pc.replace_substring_regex(ts_str, r" [+-]\d{4}$", "")
+        return _strptime(s, _STRPTIME_CLF)
+    # iso: accept trailing Z / fractional seconds by trimming them
+    s = pc.replace_substring_regex(ts_str, r"(\.\d+)?Z?$", "")
+    return _strptime(s, _STRPTIME_ISO)
+
+
+class _Acc:
+    """Per-batch output accumulators, merged mask-wise per pattern."""
+
+    def __init__(self, n: int, schema_fields: list[tuple[str, pa.DataType]]):
+        self.n = n
+        self.cols: dict[str, pa.Array] = {
+            name: pa.nulls(n, type=typ) for name, typ in schema_fields}
+
+    def merge(self, mask: pa.Array, name: str, values: pa.Array) -> None:
+        target = self.cols[name].type
+        if values.type != target:
+            values = pc.cast(values, target)
+        self.cols[name] = pc.if_else(mask, values, self.cols[name])
+
+
+def parse_batch(batch: pa.Table, registry: PatternRegistry,
+                text_col: str = "text", source_col: str = "role",
+                ts_col: str = "ts") -> pa.Table:
+    n = batch.num_rows
+    schema_fields = registry.output_schema_fields()
+    acc = _Acc(n, schema_fields)
+    text = pc.cast(batch[text_col], pa.string())
+    role = batch[source_col]
+    row_ts = batch[ts_col]
+
+    matched = pa.array(np.zeros(n, dtype=bool))
+    drop = np.zeros(n, dtype=bool)
+
+    # ---- JSON fast path (parser.js:474-483,390-468) ------------------
+    stripped = pc.utf8_trim_whitespace(text)
+    maybe_json = pc.and_(pc.starts_with(stripped, pattern="{"),
+                         pc.ends_with(stripped, pattern="}"))
+    jm = maybe_json.to_numpy(zero_copy_only=False)
+    if jm.any():
+        texts_np = text.to_numpy(zero_copy_only=False)
+        json_ok = np.zeros(n, dtype=bool)
+        msg = np.full(n, None, dtype=object)
+        sev = np.full(n, None, dtype=object)
+        ts_us = np.full(n, None, dtype=object)
+        extras = np.full(n, None, dtype=object)
+        promoted = {k: np.full(n, None, dtype=object) for k in JSON_PROMOTED}
+        for i in np.flatnonzero(jm):
+            try:
+                obj = json.loads(texts_np[i])
+            except (ValueError, TypeError):
+                continue  # falls through to pattern matching
+            if not isinstance(obj, dict):
+                continue
+            json_ok[i] = True
+            # bunyan normalization (parser.js:424-439)
+            if "msg" in obj and "message" not in obj:
+                obj["message"] = obj.pop("msg")
+            if "level" in obj and isinstance(obj["level"], (int, float)):
+                sev[i] = BUNYAN_LEVELS.get(int(obj.pop("level")))
+            if "time" in obj:
+                t = _parse_dates(pa.array([str(obj.pop("time"))]), "iso")
+                if t[0].is_valid:
+                    ts_us[i] = t[0].value
+            msg[i] = obj.pop("message", None)
+            rest = {}
+            for k, v in obj.items():
+                if k in promoted:
+                    promoted[k][i] = v
+                elif k != "v":
+                    rest[k] = v
+            if rest:
+                extras[i] = json.dumps(rest, sort_keys=True, separators=(",", ":"))
+        jmask = pa.array(json_ok)
+        acc.merge(jmask, "message", pa.array(msg, pa.string()))
+        acc.merge(jmask, "severity", pa.array(sev, pa.string()))
+        acc.merge(jmask, "_type", pa.array(
+            np.where(json_ok, "json", None), pa.string()))
+        acc.merge(jmask, "@timestamp", pa.array(
+            [int(v) if v is not None else None for v in ts_us], pa.timestamp("us")))
+        acc.merge(jmask, "fields_json", pa.array(extras, pa.string()))
+        for k in promoted:
+            acc.merge(jmask, k, pa.array(
+                [str(v) if v is not None else None for v in promoted[k]], pa.string()))
+        matched = pc.or_(matched, jmask)
+
+    # ---- ordered pattern loop over the shrinking unmatched subset ----
+    for entry in registry.all_entries():
+        todo = pc.invert(matched)
+        if not pc.any(todo).as_py():
+            break
+        ext = pc.extract_regex(text, entry.regex)
+        valid = pc.and_(pc.is_valid(ext), todo)
+        # sourceName routing gate (parser.js:170-196)
+        src_groups = [g for g in registry.groups if entry in g.match]
+        if src_groups and src_groups[0].source not in (".*", ""):
+            valid = pc.and_(valid, pc.match_substring_regex(
+                role, src_groups[0].source))
+        if not pc.any(valid).as_py():
+            continue
+        cols: dict[str, pa.Array] = {f: pc.struct_field(ext, f)
+                                     for f in entry.fields}
+        cols["message"] = text  # default: whole line (parser.js:514)
+        if entry.transform:
+            get_transform(entry.transform)(cols)
+        pattern_ts = None
+        if entry.datefield and entry.datefield in cols:
+            pattern_ts = _parse_dates(cols.pop(entry.datefield), entry.dateformat)
+        for fname, ftype in entry.types.items():
+            if ftype == "number" and fname in cols:
+                cols[fname] = pc.cast(cols[fname], pa.float64())
+        for fname, arr in cols.items():
+            if fname in acc.cols:
+                acc.merge(valid, fname, arr)
+        if pattern_ts is not None:
+            acc.merge(pc.and_(valid, pc.is_valid(pattern_ts)),
+                      "@timestamp", pattern_ts)
+        acc.merge(valid, "_type", pa.array([entry.type] * n, pa.string()))
+        if entry.input_drop:
+            dm = pc.and_(valid, pc.match_substring_regex(text, entry.input_drop))
+            drop |= dm.to_numpy(zero_copy_only=False)
+        matched = pc.or_(matched, valid)
+
+    # ---- fallback record (parser.js:559-564) -------------------------
+    unmatched = pc.invert(matched)
+    acc.merge(unmatched, "message", text)
+    acc.cols["logSource"] = pc.cast(role, pa.string())
+    # deterministic 'now' stand-in: the row's own event time
+    acc.cols["@timestamp"] = pc.coalesce(acc.cols["@timestamp"],
+                                         pc.cast(row_ts, pa.timestamp("us")))
+
+    out = batch
+    for name, _ in schema_fields:
+        out = out.append_column(name, acc.cols[name])
+    if drop.any():
+        out = out.filter(pa.array(~drop))
+    return out
+
+
+def make_parse_fn(pattern_paths: list[str] | None = None,
+                  text_col: str = "text", source_col: str = "role",
+                  ts_col: str = "ts"):
+    """Factory for the map_batches callable. The returned closure loads
+    the registry lazily per worker (module cache), so shipping it to Ray
+    serializes only the path list, never compiled regexes."""
+    paths = list(pattern_paths) if pattern_paths else None
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        return parse_batch(batch, load_registry(paths), text_col=text_col,
+                           source_col=source_col, ts_col=ts_col)
+
+    return _parse

@@ -1,0 +1,62 @@
+"""grep / drop-events / prep / route unit tests (SURVEY.md §2.3, §2.6,
+routing §2.7)."""
+
+import pyarrow as pa
+
+from logagent_js_ray.stages.filters import (make_drop_events_fn, make_grep_fn,
+                                            make_prep_fn)
+from logagent_js_ray.stages.route import RouteConfig, route_batch
+
+
+def tbl(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def test_grep_include_exclude():
+    # grep.js:7-27
+    t = tbl(text=["keep this", "drop this", "keep too"],
+            role=["u", "u", "u"])
+    out = make_grep_fn(include="keep", exclude="too")(t)
+    assert out["text"].to_pylist() == ["keep this"]
+
+
+def test_grep_source_gate_passes_unmatched_sources():
+    t = tbl(text=["nomatch", "nomatch"], role=["a", "b"])
+    out = make_grep_fn(include="keep", match_source="^a$")(t)
+    assert out["text"].to_pylist() == ["nomatch"]  # role b untouched
+    assert out["role"].to_pylist() == ["b"]
+
+
+def test_drop_events():
+    # dropEventsFilter.js:23-76 — any failing condition drops
+    t = tbl(severity=["error", "info", None], text=["x", "y", "z"])
+    out = make_drop_events_fn(exclude={"severity": "^error$"})(t)
+    assert out["text"].to_pylist() == ["y", "z"]
+    out = make_drop_events_fn(include={"severity": "info"})(t)
+    assert out["text"].to_pylist() == ["y"]
+
+
+def test_prep_ansi_and_truncate():
+    t = tbl(text=["\x1b[31mred\x1b[0m tail"], role=["u"])
+    out = make_prep_fn(max_size=8)(t)
+    assert out["text"][0].as_py() == "red tail"
+
+
+def test_route_first_match_and_default():
+    # logSourceToIndexMapper.js:24-49 first-match + default index
+    t = tbl(logSource=["user", "assistant", "tool", "weird"])
+    cfg = RouteConfig([("s_u", "^user$"), ("s_a", "^(assistant|system)$"),
+                       ("s_t", "^tool$")], default_sink="s_d")
+    out = route_batch(t, cfg)
+    assert out["sink"].to_pylist() == ["s_u", "s_a", "s_t", "s_d"]
+
+
+def test_route_drop_unmatched_and_index_override():
+    # elasticsearch.js:181-186 (_index precedence), :193-195 (drop)
+    t = tbl(logSource=["user", "weird"], _index=[None, None])
+    cfg = RouteConfig([("s_u", "^user$")], drop_unmatched=True)
+    out = route_batch(t, cfg)
+    assert out["sink"].to_pylist() == ["s_u"]
+    t2 = tbl(logSource=["user"], _index=["forced"])
+    out2 = route_batch(t2, RouteConfig([("s_u", "^user$")]))
+    assert out2["sink"].to_pylist() == ["forced"]
