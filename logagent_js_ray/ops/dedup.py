@@ -1,0 +1,284 @@
+"""Deduplication operators over the ``documents`` table — exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+  * exact dedup groups by a CONTENT HASH column added in ``map_batches``
+    so the shuffle moves 16-byte digests, not document bodies;
+  * MinHash/SimHash signatures are computed per batch (numpy over the
+    shingle set), then EXPLODED to (band, band_hash) rows whose groupby
+    is the only all-to-all exchange — band buckets are tiny;
+  * candidate pairs are verified from SIGNATURES (estimated Jaccard =
+    fraction of agreeing minhash positions), never by re-shipping texts;
+  * embedding near-dup buckets by random-hyperplane LSH signs so only
+    same-bucket vectors are pairwise-compared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+# ---------------------------------------------------------------- exact
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_md5") -> pa.Table:
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    hs = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(hs, pa.string()))
+
+
+def exact_dedup_keep_first(ds: "ray.data.Dataset", text_col: str = "text",
+                           id_col: str = "doc_id") -> "ray.data.Dataset":
+    """One representative (min id) per distinct content: hash-partition +
+    per-group first. Returns (content_md5, doc_id)."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                            batch_format="pyarrow")
+    return (hashed.select_columns(["content_md5", id_col])
+            .groupby("content_md5")
+            .aggregate(Min(id_col, alias_name=id_col)))
+
+
+# -------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = (text or "").split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams],
+                              dtype=np.uint64))
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    sh = _shingle_hashes(text, k)
+    # (num_perm, n_shingles) universal hashing, min over shingles
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 7):
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.k = k
+        self.num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        sigs = np.stack([minhash_signature(t, self.a, self.b, self.k)
+                         for t in texts])
+        return batch.append_column(
+            "minhash", pa.array(list(sigs.astype(np.uint64))))
+
+
+def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
+               id_col: str) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sigs = batch["minhash"].to_pylist()
+    out_ids, out_band, out_hash, out_sig = [], [], [], []
+    for i, sig in enumerate(sigs):
+        sig = np.asarray(sig, dtype=np.uint64)
+        for bnd in range(bands):
+            chunk = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
+            h = zlib.crc32(chunk.tobytes())
+            out_ids.append(ids[i])
+            out_band.append(bnd)
+            out_hash.append(h)
+            out_sig.append(sig)
+    return pa.table({
+        id_col: pa.array(out_ids),
+        "band": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+        "minhash": pa.array([list(s) for s in out_sig]),
+    })
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8,
+                      concurrency=(2, 8)) -> "ray.data.Dataset":
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    shingle -> minhash (actor pool) -> band explode -> groupby(band,
+    band_hash) -> per-bucket pairwise signature-Jaccard -> global pair
+    dedup (a pair can collide in several bands)."""
+    rows_per_band = num_perm // bands
+    sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
+        "num_perm": num_perm}, batch_format="pyarrow",
+        concurrency=concurrency)
+    banded = sigged.map_batches(
+        lambda b: _band_rows(b, bands, rows_per_band, id_col),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.uint64)
+                         for s in g["minhash"]])
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"id_a": ids[a_idx][keep],
+                             "id_b": ids[b_idx][keep],
+                             "est_jaccard": est[keep]})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedup pairs found in multiple bands (tiny shuffle over pairs)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard"))
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(text: str) -> np.uint64:
+    v = np.zeros(64, np.int64)
+    for tok in (text or "").split():
+        h = np.uint64(zlib.crc32(tok.encode()) |
+                      (zlib.crc32(tok[::-1].encode()) << 32))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    return batch.append_column("simhash", pa.array(hs.astype(np.int64)))
+
+
+def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash: 4-way band blocking (two colliding docs
+    within hamming distance 3 share at least one 16-bit band), verify
+    hamming distance inside each bucket."""
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        out_id = np.repeat(ids, 4)
+        out_band = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (np.tile(np.arange(4, dtype=np.uint64), n) * np.uint64(16))
+        out_key = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({id_col: pa.array(out_id),
+                         "band": pa.array(out_band),
+                         "band_key": pa.array(out_key),
+                         "simhash": pa.array(np.repeat(sh, 4).astype(np.int64))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = sh[ai] ^ sh[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (hashed.map_batches(explode, batch_format="pyarrow")
+             .groupby(["band", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# -------------------------------------------- exact n-gram Jaccard verify
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# -------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 6, n_tables: int = 4,
+                             seed: int = 11) -> "ray.data.Dataset":
+    """Cosine near-dup via random-hyperplane LSH with ``n_tables``
+    independent tables (a pair is a candidate if it collides in ANY
+    table — one marginal hyperplane sign can't hide a near-dup), exact
+    cosine verify within buckets, global pair dedup."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False))
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, vecs.shape[1], n_planes))
+        n = len(vecs)
+        tbl_idx = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        keys = np.concatenate([
+            (((vecs @ planes[t]) > 0) * (1 << np.arange(n_planes)))
+            .sum(axis=1).astype(np.int64) for t in range(n_tables)])
+        rep = pa.table({
+            id_col: pa.array(np.tile(
+                b[id_col].to_numpy(zero_copy_only=False), n_tables)),
+            vec_col: pa.concat_arrays(
+                [b[vec_col].combine_chunks()] * n_tables)
+            if isinstance(b[vec_col], pa.ChunkedArray)
+            else pa.concat_arrays([b[vec_col]] * n_tables),
+            "lsh_table": pa.array(tbl_idx),
+            "lsh_bucket": pa.array(keys),
+        })
+        return rep
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "cosine": pd.Series([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ (vecs / norms).T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep],
+                             "cosine": sims[ai, bi][keep]})
+
+    pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby(["lsh_table", "lsh_bucket"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair can collide in several tables: dedup (tiny shuffle)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine"))

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul and emits only its LOCAL
+top-k partial (k rows per batch), and the global top-k merge happens over
+those partials — never over the full corpus. Scale path: random-
+hyperplane LSH bucketing so only matching buckets are scanned.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor-pool stage: the normalized query matrix is resolved ONCE per
+    actor from the broadcast ref; per batch = one matmul + local top-k."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
+            else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float64)))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(np.stack(
+            batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = vecs @ self.q.T  # (n, n_queries)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            k = min(self.k, len(ids))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            out_sim.extend(col[top])
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         self.id_col: pa.array(out_id),
+                         "cosine": pa.array(out_sim, pa.float64())})
+
+
+def topk_cosine(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                concurrency=(2, 8)) -> pd.DataFrame:
+    """Global top-k per query: per-batch partial top-k, merged on the
+    driver (the merge input is ~k × n_blocks rows, never the corpus).
+    Deterministic tiebreak: (-cosine, id)."""
+    ref = ray.put(np.asarray(query_vecs, np.float64))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"query_ref": ref, "k": k,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_idx"):
+        rows = heapq.nsmallest(
+            k, g.itertuples(index=False),
+            key=lambda r: (-r.cosine, getattr(r, id_col)))
+        out.extend(rows)
+    res = pd.DataFrame(out)
+    return res.reset_index(drop=True)
+
+
+class LSHIndexScorer:
+    """Scale path: scan only rows whose random-hyperplane bucket matches
+    one of the query's probe buckets (multi-probe = flip one bit)."""
+
+    def __init__(self, query_ref, k: int, n_planes: int = 8, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
+            else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float64)))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None  # built lazily when dim is known
+        self.q_buckets: list[set[int]] = []
+
+    def _ensure_planes(self, dim: int) -> None:
+        if self.planes is not None:
+            return
+        rng = np.random.default_rng(self.seed)
+        self.planes = rng.standard_normal((dim, self.n_planes))
+        signs = (self.q @ self.planes) > 0
+        pows = 1 << np.arange(self.n_planes)
+        for row in signs:
+            base = int((row * pows).sum())
+            probes = {base}
+            for b in range(self.n_planes):  # multi-probe: 1-bit flips
+                probes.add(base ^ (1 << b))
+            self.q_buckets.append(probes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vecs = np.stack(
+            batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        self._ensure_planes(vecs.shape[1])
+        nv = _normalize(vecs)
+        keys = ((nv @ self.planes) > 0) @ (1 << np.arange(self.n_planes))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(keys, list(self.q_buckets[qi]))
+            if not mask.any():
+                continue
+            col = nv[mask] @ self.q[qi]
+            sel = ids[mask]
+            k = min(self.k, len(sel))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(sel[top])
+            out_sim.extend(col[top])
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         self.id_col: pa.array(out_id),
+                         "cosine": pa.array(out_sim, pa.float64())})
+
+
+def topk_cosine_lsh(ds: "ray.data.Dataset", query_vecs: np.ndarray,
+                    k: int = 10, n_planes: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    concurrency=(2, 8)) -> pd.DataFrame:
+    ref = ray.put(np.asarray(query_vecs, np.float64))
+    partials = ds.map_batches(
+        LSHIndexScorer,
+        fn_constructor_kwargs={"query_ref": ref, "k": k,
+                               "n_planes": n_planes, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_idx"):
+        rows = heapq.nsmallest(
+            k, g.itertuples(index=False),
+            key=lambda r: (-r.cosine, getattr(r, id_col)))
+        out.extend(rows)
+    return pd.DataFrame(out).reset_index(drop=True)

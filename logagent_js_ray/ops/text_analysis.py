@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting. All are stateless vectorized ``map_batches``
+stages (regexes compiled at module import, once per worker process).
+
+These extend the reference's scope (logagent has no corpus analytics);
+they reuse its execution idiom — per-batch vectorized transforms over the
+``text`` column, exactly like the parse stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs (the
+# GPT-2 pre-tokenize regex family, simplified to RE2-compatible form).
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was for on with as at by it this".split())
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def analyze_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds: n_tokens_ws (whitespace split — SQL-checkable), n_tokens_bpe
+    (regex pre-tokenizer), stopword_ratio, punct_ratio, avg_token_len,
+    quality flag (simple length/punct/stopword heuristic)."""
+    text = batch[text_col]
+    # whitespace tokens: count single-space separators + 1 (matches
+    # DuckDB len(string_split(text, ' ')) exactly)
+    n_ws = pc.add(pc.count_substring(text, pattern=" "), 1)
+    texts = text.to_numpy(zero_copy_only=False)
+    n_bpe = np.zeros(len(texts), np.int64)
+    stop_r = np.zeros(len(texts), np.float64)
+    punct_r = np.zeros(len(texts), np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = _BPE_RE.findall(t)
+        n_bpe[i] = len(toks)
+        if toks:
+            stop_r[i] = sum(1 for w in toks if w.lower() in _STOPWORDS) / len(toks)
+        punct_r[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+    n_chars = pc.utf8_length(text)
+    avg_len = pc.divide(pc.cast(n_chars, pa.float64()),
+                        pc.cast(n_ws, pa.float64()))
+    quality = pc.and_(pc.greater_equal(n_ws, 5),
+                      pc.less(pa.array(punct_r), 0.3))
+    out = batch.append_column("n_tokens_ws", pc.cast(n_ws, pa.int64()))
+    out = out.append_column("n_tokens_bpe", pa.array(n_bpe))
+    out = out.append_column("stopword_ratio", pa.array(stop_r))
+    out = out.append_column("punct_ratio", pa.array(punct_r))
+    out = out.append_column("avg_token_len", avg_len)
+    out = out.append_column("quality_ok", quality)
+    return out
+
+
+# --- language ID: character-n-gram heuristic ---------------------------
+
+_LANG_PROFILES = {
+    # tiny trigram profiles; deterministic, illustrative (the real corpus
+    # in this sandbox is synthetic English-like for every lang label)
+    "en": ("the", "and", "ing", "ion", "ent"),
+    "es": ("que", "de ", "la ", "os ", "ión"),
+    "de": ("der", "ein", "sch", "ich", "und"),
+    "fr": ("les", "ent", "de ", "la ", "ion"),
+}
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    preds = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        if not t:
+            preds[i] = "und"
+            continue
+        tl = t.lower()
+        scores = {lang: sum(tl.count(g) for g in grams)
+                  for lang, grams in _LANG_PROFILES.items()}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        preds[i] = best if scores[best] > 0 else "und"
+    return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+# --- fingerprints ------------------------------------------------------
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      window: int = 8) -> pa.Table:
+    """Adds ``fp_md5`` (full-content hash, SQL-checkable against
+    DuckDB's md5()) and ``fp_winnow`` (min-of-rolling-crc32 over
+    ``window``-gram shingles — a winnowing-style robust fingerprint)."""
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    md5s = np.empty(len(texts), dtype=object)
+    winnows = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        s = t or ""
+        md5s[i] = hashlib.md5(s.encode()).hexdigest()
+        toks = s.split()
+        if len(toks) >= window:
+            hs = [zlib.crc32(" ".join(toks[j:j + window]).encode())
+                  for j in range(len(toks) - window + 1)]
+        else:
+            hs = [zlib.crc32(s.encode())]
+        winnows[i] = min(hs)
+    out = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
+    return out.append_column("fp_winnow", pa.array(winnows))

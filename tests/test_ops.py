@@ -1,0 +1,144 @@
+"""Training-data ops: dedup, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def docs_table():
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green forest tonight").split()
+    texts = []
+    # doc 0/1: near-duplicates (one word changed), doc 2: exact dup of 0,
+    # docs 3..9: distinct
+    texts.append(" ".join(base))
+    texts.append(" ".join(base[:-1] + ["today"]))
+    texts.append(" ".join(base))
+    rng = np.random.default_rng(3)
+    for i in range(3, 10):
+        texts.append(" ".join(rng.permutation(
+            [f"w{i}{j}" for j in range(20)]).tolist()))
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def embed_table(n=40, dim=16, seed=4):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": pa.array(list(vecs),
+                                           pa.list_(pa.float32()))})
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.dedup import exact_dedup_keep_first
+    out = exact_dedup_keep_first(
+        ray.data.from_arrow(docs_table())).to_pandas()
+    assert len(out) == 9  # 10 docs, one exact dup
+    kept = set(out["doc_id"])
+    assert 0 in kept and 2 not in kept  # keep-first = min doc_id
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(docs_table()),
+                              threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 2) in got          # exact dup: est jaccard 1.0
+    assert (0, 1) in got or (1, 2) in got  # near dup
+    for a, b in got:              # no random-doc false positives
+        assert {a, b} <= {0, 1, 2}
+
+
+def test_ngram_jaccard():
+    from logagent_js_ray.ops.dedup import ngram_jaccard
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e f", "a b c d e g") < 1.0
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.dedup import simhash_pairs
+    pairs = simhash_pairs(ray.data.from_arrow(docs_table()),
+                          max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 2) in got  # identical text -> hamming 0
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.dedup import embedding_near_dup_pairs
+    pairs = embedding_near_dup_pairs(
+        ray.data.from_arrow(embed_table()), threshold=0.95).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (3, 7) in got
+
+
+def test_topk_cosine_matches_numpy(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.similarity import topk_cosine
+    tbl = embed_table()
+    vecs = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)
+                    ).astype(np.float64)
+    q = vecs[0]
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ (q / np.linalg.norm(q))
+    want = set(np.argsort([(-s, i) for i, s in enumerate(sims)],
+                          axis=0)[:, 0][:5].tolist())
+    want = set(sorted(range(len(sims)),
+                      key=lambda i: (-sims[i], i))[:5])
+    got = topk_cosine(ray.data.from_arrow(tbl), q, k=5)
+    assert set(got["vec_id"]) == want
+    assert got["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_topk_lsh_recalls_self_and_neighbor(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.similarity import topk_cosine_lsh
+    tbl = embed_table()
+    vecs = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False))
+    got = topk_cosine_lsh(ray.data.from_arrow(tbl), vecs[3], k=5)
+    assert 3 in set(got["vec_id"])   # self always in its own bucket
+    assert 7 in set(got["vec_id"])   # near-identical vector
+
+
+def test_text_analysis():
+    from logagent_js_ray.ops.text_analysis import (analyze_batch,
+                                                   fingerprint_batch,
+                                                   lang_id_batch)
+    t = pa.table({"text": ["the quick brown fox", "a b!! c?? d.."]})
+    out = analyze_batch(t)
+    assert out["n_tokens_ws"].to_pylist() == [4, 4]
+    assert out["n_tokens_bpe"].to_pylist()[1] == 7  # words + punct runs
+    assert out["stopword_ratio"][0].as_py() == pytest.approx(0.25)
+    fp = fingerprint_batch(t)
+    assert len(fp["fp_md5"][0].as_py()) == 32
+    lid = lang_id_batch(t)
+    assert lid["pred_lang"][0].as_py() == "en"
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.multimodal import (DecodeImage, SampleFrames,
+                                                synthesize_media_table)
+    ds = ray.data.from_arrow(synthesize_media_table(30))
+    dec = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=8,
+                         concurrency=2).to_pandas()
+    assert len(dec) == 30
+    assert len(dec["features"].iloc[0]) == DecodeImage.FEATURE_DIM
+    assert "payload" not in dec.columns  # blob consumed, not carried
+    # determinism: same payload -> same features
+    d2 = ray.data.from_arrow(synthesize_media_table(30)).map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=8,
+        concurrency=2).to_pandas()
+    np.testing.assert_array_equal(np.stack(dec["features"].to_numpy()),
+                                  np.stack(d2["features"].to_numpy()))
+    frames = ds.map_batches(SampleFrames, batch_format="pyarrow",
+                            concurrency=2).to_pandas()
+    assert set(frames["frame_idx"]) == {0, 10, 20, 30}
+    assert len(frames) == 4 * 10  # 10 videos in 30 rows
