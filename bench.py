@@ -1,0 +1,127 @@
+"""Benchmark harness.
+
+Headline: the flagship parse -> mask -> enrich -> route -> aggregate
+pipeline (sink writes included) over the transcript fixture at the scale
+matching $GRAFT_SF_DIR (default /root/testdata/sf0.1 -> 600k turns),
+plus representative per-operator query timings over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling``: runs the same bench twice in fresh processes at
+num_cpus=8 and num_cpus=32 (the in-sandbox stand-in for N- vs 4N-node
+clusters) and reports both throughputs + scaling efficiency.
+
+Usage:
+  PYTHONPATH=/root/repo python bench.py
+  PYTHONPATH=/root/repo python bench.py --scaling
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from logagent_js_ray.fixtures.gen import fixture_dir_for
+    from logagent_js_ray.pipelines import queries as q
+    from logagent_js_ray.pipelines.flagship import run_flagship
+
+    fdir = fixture_dir_for(SF_DIR)
+
+    # warm the OS page cache (measure compute+shuffle, not first disk read)
+    import pyarrow.parquet as pq
+    n_turns = sum(pq.read_metadata(os.path.join(fdir, f)).num_rows
+                  for f in os.listdir(fdir) if f.endswith(".parquet"))
+    for name in ("events", "documents", "embeddings", "lineitem"):
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                fh.read()
+
+    out_dir = "/tmp/bench_sinks"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_flagship(fdir, out_dir=out_dir)
+    headline = time.time() - t0
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t = time.time()
+        res = fn(SF_DIR)
+        # consume: aggregates/pairs are small; row-level results count()
+        import ray.data as rd
+        if isinstance(res, rd.Dataset):
+            res.count()
+        timings[name] = round(time.time() - t, 3)
+
+    for name in ("t_text_equality", "t_agg_bucket", "t_conv_stats",
+                 "e_agg_type_hour", "e_route_counts", "d_exact_dedup",
+                 "d_minhash_pairs", "d_token_stats", "v_knn", "l_pricing"):
+        timed(name, q.QUERIES[name])
+
+    return {
+        "metric": ("flagship parse->mask->enrich->route->aggregate "
+                   "wall sec (sink writes included)"),
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYTHONPATH=REPO)
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    tps_lo, tps_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tps_hi / tps_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (turns/s at 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "turns_per_sec_8": tps_lo, "turns_per_sec_32": tps_hi,
+        "sf": r_hi["sf"], "turns": r_hi["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

@@ -23,7 +23,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
+
+from ..stages.aggregate import tree_merge
 
 # ---------------------------------------------------------------- exact
 
@@ -36,13 +37,15 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 def exact_dedup_keep_first(ds: "ray.data.Dataset", text_col: str = "text",
                            id_col: str = "doc_id") -> "ray.data.Dataset":
-    """One representative (min id) per distinct content: hash-partition +
-    per-group first. Returns (content_md5, doc_id)."""
+    """One representative (min id) per distinct content. The merge moves
+    only (digest, id) partials — per-block min first, then tree merge —
+    so document bodies never shuffle. Returns (content_md5, doc_id)."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
-    return (hashed.select_columns(["content_md5", id_col])
-            .groupby("content_md5")
-            .aggregate(Min(id_col, alias_name=id_col)))
+    partials = hashed.select_columns(["content_md5", id_col]).map_batches(
+        lambda b: b.groupby("content_md5", as_index=False)[id_col].min(),
+        batch_format="pandas", batch_size=65536)
+    return tree_merge(partials, ["content_md5"], {id_col: "min"})
 
 
 # -------------------------------------------------------------- minhash
@@ -147,9 +150,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands (tiny shuffle over pairs)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard"))
+    # dedup pairs found in multiple bands (tree merge over tiny pair set)
+    return tree_merge(pairs, ["id_a", "id_b"], {"est_jaccard": "min"})
 
 
 # -------------------------------------------------------------- simhash
@@ -211,8 +213,7 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     pairs = (hashed.map_batches(explode, batch_format="pyarrow")
              .groupby(["band", "band_key"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return tree_merge(pairs, ["id_a", "id_b"], {"hamming": "min"})
 
 
 # -------------------------------------------- exact n-gram Jaccard verify
@@ -279,6 +280,5 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
     pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
              .groupby(["lsh_table", "lsh_bucket"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    # a pair can collide in several tables: dedup (tiny shuffle)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cosine", alias_name="cosine"))
+    # a pair can collide in several tables: dedup via tree merge
+    return tree_merge(pairs, ["id_a", "id_b"], {"cosine": "min"})

@@ -28,10 +28,10 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..fixtures import gen as fixgen
 from ..sources.transcripts import read_transcripts
@@ -97,19 +97,20 @@ def aggregate_cube(routed: "ray.data.Dataset") -> "ray.data.Dataset":
                       sum_cols=["size"])
 
 
-def marginals_from_cube(cube: "ray.data.Dataset") -> dict[str, "ray.data.Dataset"]:
-    """Derive the per-sink marginal aggregates from the (tiny) cube."""
-    out = {
-        "by_role": cube.groupby(["sink", "role"]).aggregate(
-            Sum("n", alias_name="n")),
-        "by_tool": cube.groupby(["sink", "tool"]).aggregate(
-            Sum("n", alias_name="n")),
-        "by_bucket": cube.groupby(["sink", "time_bucket"]).aggregate(
-            Sum("n", alias_name="n")),
-        "sum_size": cube.groupby(["sink"]).aggregate(
-            Sum("sum_size", alias_name="sum_size", ignore_nulls=True)),
+def marginals_from_cube(cube) -> dict:
+    """Derive the per-sink marginal aggregates from the (tiny) cube —
+    driver-side pandas: the cube is |sinks|x|roles|x|tools|x|buckets|
+    rows by construction, so a distributed pass would be pure overhead."""
+    df = cube.to_pandas() if not isinstance(cube, pd.DataFrame) else cube
+    def m(keys, col="n"):
+        return (df.groupby(keys, dropna=False, as_index=False)
+                  .agg(**{col: (col, lambda s: s.sum(min_count=1))}))
+    return {
+        "by_role": m(["sink", "role"]),
+        "by_tool": m(["sink", "tool"]),
+        "by_bucket": m(["sink", "time_bucket"]),
+        "sum_size": m(["sink"], col="sum_size"),
     }
-    return out
 
 
 def run_flagship(input_path: str, out_dir: str | None = None,
@@ -130,10 +131,9 @@ def run_flagship(input_path: str, out_dir: str | None = None,
             ["sink", "role", "tool", "time_bucket"], sum_cols=["size"])
     else:
         cube = aggregate_cube(routed)
-    cube = cube.materialize()  # tiny: |sinks|x|roles|x|tools|x|hours| rows
-    marg = marginals_from_cube(cube)
+    cube_df = cube.to_pandas()  # tiny: |sinks|x|roles|x|tools|x|hours| rows
     return {
         "out_dir": out_dir,
-        "cube": cube,
-        "aggregates": {k: v.to_pandas() for k, v in marg.items()},
+        "cube": cube_df,
+        "aggregates": marginals_from_cube(cube_df),
     }

@@ -11,11 +11,21 @@ SQL-checkable.
 
 Scale design: a bare ``groupby().aggregate()`` shuffles every row.
 ``agg_counts`` pre-aggregates INSIDE ``map_batches`` (one row per key per
-batch) and only shuffles the partials — the combiner pattern. This is
+batch) and only merges the partials — the combiner pattern. This is
 also the skew answer for counting: a hot ``conv_id``/sink key contributes
 at most one partial row per block, so no salting is needed for the
 aggregate path (hot keys still matter for ``map_groups``; see
 ``salt_column`` for that).
+
+The partial MERGE is a fan-in TREE (``tree_merge``), not
+``Dataset.groupby().aggregate()``: Ray's built-in aggregate does per-row
+Python accumulation and costs ~20 s even on a few thousand partial rows
+(measured in this environment; see BASELINE.md), while an associative
+pandas merge of partials is milliseconds. The tree keeps every merge
+task bounded: level 1 combines ``fanout`` blocks at a time, the root
+merges the survivors. Use ``Dataset.groupby`` only when per-group
+LOGIC (map_groups) is needed, or when unique keys outnumber what one
+root task can hold (then partition by key hash first).
 """
 
 from __future__ import annotations
@@ -25,7 +35,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def add_time_bucket(batch: pa.Table, ts_col: str = "@timestamp",
@@ -54,18 +63,53 @@ def _partial_fn(keys: list[str], sum_cols: list[str]):
     return _partial
 
 
+# merge spec: output column -> reducer over partial columns
+MERGE_HOW = {"sum", "min", "max"}
+
+
+def _merge_fn(keys: list[str], spec: dict[str, str]):
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        g = df.groupby(keys, dropna=False, sort=False)
+        parts = {}
+        for col, how in spec.items():
+            if how == "sum":
+                parts[col] = g[col].sum(min_count=1)
+            elif how == "min":
+                parts[col] = g[col].min()
+            elif how == "max":
+                parts[col] = g[col].max()
+            else:  # pragma: no cover
+                raise ValueError(how)
+        return pd.concat(parts, axis=1).reset_index()
+    return _merge
+
+
+def tree_merge(partials: "ray.data.Dataset", keys: list[str],
+               spec: dict[str, str], fanout: int = 32) -> "ray.data.Dataset":
+    """Associative fan-in merge of per-block partial aggregates: one
+    intermediate combine level (``fanout`` partitions), then a root
+    merge. Every task sees at most (keys x fanout-share) rows."""
+    merge = _merge_fn(keys, spec)
+    lvl = partials.repartition(fanout).map_batches(
+        merge, batch_format="pandas", batch_size=None)
+    return lvl.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None)
+
+
 def agg_counts(ds: "ray.data.Dataset", keys: list[str],
                sum_cols: list[str] | None = None,
                batch_size: int = 65536) -> "ray.data.Dataset":
-    """count(*) (+ optional sums) by ``keys`` with per-block partial
-    combine, then a small shuffle over the partials."""
+    """count(*) (+ optional sums) by ``keys``: per-block partial combine
+    inside map_batches, then a tree merge of the partials."""
     sum_cols = sum_cols or []
     partials = ds.map_batches(_partial_fn(keys, sum_cols),
                               batch_format="pandas", batch_size=batch_size)
-    aggs = [Sum("n", alias_name="n")]
+    spec = {"n": "sum"}
     for c in sum_cols:
-        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}", ignore_nulls=True))
-    return partials.groupby(keys).aggregate(*aggs)
+        spec[f"sum_{c}"] = "sum"
+    return tree_merge(partials, keys, spec)
 
 
 def salt_column(batch: pa.Table, key_col: str, buckets: int = 16,
