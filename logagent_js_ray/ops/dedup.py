@@ -60,60 +60,95 @@ def _perm_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+_NGRAM_P = np.uint64(1_000_003)
+
+
+def _shingle_hashes(text: str, k: int = 3,
+                    token_cache: dict | None = None) -> np.ndarray:
+    """Word-k-gram shingle hashes, computed NUMERICALLY: hash each token
+    once (cached — corpus vocabularies repeat heavily), then roll a
+    polynomial over the token-hash array. No shingle strings are ever
+    materialized."""
     toks = (text or "").split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    if token_cache is None:
+        th = np.array([zlib.crc32(t.encode()) for t in toks], np.uint64)
     else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams],
-                              dtype=np.uint64))
+        th = np.empty(len(toks), np.uint64)
+        for i, t in enumerate(toks):
+            h = token_cache.get(t)
+            if h is None:
+                h = zlib.crc32(t.encode())
+                token_cache[t] = h
+            th[i] = h
+    if len(toks) < k:
+        acc = np.uint64(0)
+        for v in th:
+            acc = acc * _NGRAM_P + v
+        return np.array([acc], dtype=np.uint64)
+    gram = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        gram = gram * _NGRAM_P + th[j:len(toks) - k + 1 + j]
+    return np.unique(gram)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
-                      k: int = 3) -> np.ndarray:
-    sh = _shingle_hashes(text, k)
+                      k: int = 3, token_cache: dict | None = None) -> np.ndarray:
+    sh = _shingle_hashes(text, k, token_cache)
     # (num_perm, n_shingles) universal hashing, min over shingles
     vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1)
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Actor-pool stage: permutation params + token-hash cache built
+    once per actor and amortized across every batch it processes."""
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 7):
         self.a, self.b = _perm_params(num_perm, seed)
         self.k = k
         self.num_perm = num_perm
+        self.token_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_numpy(zero_copy_only=False)
-        sigs = np.stack([minhash_signature(t, self.a, self.b, self.k)
+        sigs = np.stack([minhash_signature(t, self.a, self.b, self.k,
+                                           self.token_cache)
                          for t in texts])
         return batch.append_column(
             "minhash", pa.array(list(sigs.astype(np.uint64))))
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
-               id_col: str) -> pa.Table:
+               id_col: str, coarse: int) -> pa.Table:
+    """Explode each doc into one row per band. ``coarse`` buckets the
+    band hashes so the Ray groupby sees O(bands x coarse) groups instead
+    of one group per distinct band hash — Ray's per-group dispatch is
+    Python-priced, so group count, not group size, is the cost driver.
+    Exact sub-bucketing happens vectorized inside each coarse group."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    sigs = batch["minhash"].to_pylist()
-    out_ids, out_band, out_hash, out_sig = [], [], [], []
-    for i, sig in enumerate(sigs):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for bnd in range(bands):
-            chunk = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
-            h = zlib.crc32(chunk.tobytes())
-            out_ids.append(ids[i])
-            out_band.append(bnd)
-            out_hash.append(h)
-            out_sig.append(sig)
-    return pa.table({
-        id_col: pa.array(out_ids),
-        "band": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_hash, pa.int64()),
-        "minhash": pa.array([list(s) for s in out_sig]),
+    n = len(ids)
+    flat = batch["minhash"].combine_chunks() if isinstance(
+        batch["minhash"], pa.ChunkedArray) else batch["minhash"]
+    sig2d = np.asarray(flat.flatten()).reshape(n, bands * rows_per_band)
+    # polynomial band hash, fully vectorized: (n, bands)
+    chunks = sig2d.reshape(n, bands, rows_per_band).astype(np.uint64)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows_per_band):
+        bh = bh * _NGRAM_P + chunks[:, :, j]
+    bh = (bh & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+    out_hash = bh.reshape(-1)
+    rep = pa.table({
+        id_col: pa.array(np.repeat(ids, bands)),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "coarse": pa.array((out_hash % coarse).astype(np.int32)),
+        "band_hash": pa.array(out_hash),
+        "minhash": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sig2d, bands, axis=0).reshape(-1)),
+            bands * rows_per_band),
     })
+    return rep
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
@@ -126,30 +161,46 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     band_hash) -> per-bucket pairwise signature-Jaccard -> global pair
     dedup (a pair can collide in several bands)."""
     rows_per_band = num_perm // bands
+    coarse = 64
     sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "num_perm": num_perm}, batch_format="pyarrow",
         concurrency=concurrency)
     banded = sigged.map_batches(
-        lambda b: _band_rows(b, bands, rows_per_band, id_col),
+        lambda b: _band_rows(b, bands, rows_per_band, id_col, coarse),
         batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "est_jaccard": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return empty
+        # segment the coarse group into exact band_hash sub-buckets
+        g = g.sort_values(["band_hash", id_col])
+        bh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
         sigs = np.stack([np.asarray(s, dtype=np.uint64)
                          for s in g["minhash"]])
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"id_a": ids[a_idx][keep],
-                             "id_b": ids[b_idx][keep],
-                             "est_jaccard": est[keep]})
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        ends = np.r_[starts[1:], len(bh)]
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            est = (sigs[s:e][ai] == sigs[s:e][bi]).mean(axis=1)
+            keep = est >= threshold
+            out_a.append(ids[s:e][ai[keep]])
+            out_b.append(ids[s:e][bi[keep]])
+            out_e.append(est[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "est_jaccard": np.concatenate(out_e)})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby(["band", "coarse"]).map_groups(
+        coarse_pairs, batch_format="pandas")
     # dedup pairs found in multiple bands (tree merge over tiny pair set)
     return tree_merge(pairs, ["id_a", "id_b"], {"est_jaccard": "min"})
 
@@ -183,6 +234,8 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     hamming distance inside each bucket."""
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
 
+    coarse = 256
+
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -193,26 +246,42 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         out_key = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table({id_col: pa.array(out_id),
                          "band": pa.array(out_band),
+                         "coarse": pa.array(out_key % coarse, pa.int32()),
                          "band_key": pa.array(out_key),
                          "simhash": pa.array(np.repeat(sh, 4).astype(np.int64))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return empty
+        g = g.sort_values(["band_key", id_col])
+        bk = g["band_key"].to_numpy()
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = sh[ai] ^ sh[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep],
-                             "hamming": ham[keep]})
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            x = sh[s:e][ai] ^ sh[s:e][bi]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][ai[keep]])
+            out_b.append(ids[s:e][bi[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     pairs = (hashed.map_batches(explode, batch_format="pyarrow")
-             .groupby(["band", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+             .groupby(["band", "coarse"])
+             .map_groups(coarse_pairs, batch_format="pandas"))
     return tree_merge(pairs, ["id_a", "id_b"], {"hamming": "min"})
 
 

@@ -120,6 +120,12 @@ def run_flagship(input_path: str, out_dir: str | None = None,
     the output directory."""
     routed = build_routed(input_path, **kwargs)
     if out_dir:
+        # a rerun must not append to a previous run's sink files — the
+        # read-back aggregate would double-count (resumable runs go
+        # through state/manifest.run_checkpointed, which is atomic
+        # per-partition instead of wipe-and-rewrite)
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         routed.write_parquet(out_dir, partition_cols=["sink"])
         # aggregates read back ONLY the cube columns from the written

@@ -21,10 +21,12 @@ import ray.data
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def list_fragments(path: str) -> list[str]:
+def list_fragments(path: str | list[str]) -> list[str]:
     """Stable-ordered parquet fragment list — the unit of checkpointing
     (state/manifest.py), the analogue of logagent's per-file tail
     pointers (/root/reference/lib/plugins/input/files.js:210-255)."""
+    if isinstance(path, (list, tuple)):
+        return sorted(path)
     if os.path.isfile(path):
         return [path]
     frags = sorted(glob.glob(os.path.join(path, "*.parquet")))

@@ -84,6 +84,7 @@ class Enricher:
                 elif self.warn_re.search(h):
                     det[i] = "warning"
             sev_idx = out.schema.get_field_index("severity")
-            merged = pc.coalesce(out["severity"], pa.array(det, pa.string()))
+            sev = pc.cast(out["severity"], pa.string())
+            merged = pc.coalesce(sev, pa.array(det, pa.string()))
             out = out.set_column(sev_idx, "severity", merged)
         return out

@@ -1,0 +1,147 @@
+"""Format-normalization enrichers — rebuild of logagent-js's
+protocol-format output filters (SURVEY.md §2.5) as vectorized projection
+stages. Each maps a foreign field layout onto the common schema.
+
+  * journald_format — /root/reference/lib/plugins/output-filter/journald-format.js:19-146
+    ``_hostname -> os.host`` (flattened to ``os_host``), µs-epoch
+    ``__REALTIME_TIMESTAMP -> @timestamp``, PRIORITY/SYSLOG_FACILITY
+    decode, ``MESSAGE -> message``, process fields.
+  * heroku_format — /root/reference/lib/plugins/output-filter/heroku-format.js:20-60
+    fixed field set + ``key=value`` router-line extraction + embedded
+    JSON detection in ``message``.
+  * device_detector — /root/reference/lib/plugins/output-filter/httpDeviceDetector.js:1-21
+    stateful user-agent parser -> structured browser/os/device columns;
+    the reference holds a DeviceDetector instance per process, here an
+    actor-pool class compiling its regex set once per actor.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.transforms import SYSLOG_SEVERITY
+
+
+def journald_format(batch: pa.Table) -> pa.Table:
+    """Columns expected: MESSAGE, __REALTIME_TIMESTAMP (µs epoch string
+    or int), PRIORITY, SYSLOG_FACILITY, _HOSTNAME, _PID, _COMM."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+
+    def col(name):
+        return batch[name] if name in batch.column_names else pa.nulls(n)
+
+    out_cols = {
+        "message": pc.cast(col("MESSAGE"), pa.string()),
+        "os_host": pc.cast(col("_HOSTNAME"), pa.string()),
+        "process_pid": pc.cast(col("_PID"), pa.float64()),
+        "process_name": pc.cast(col("_COMM"), pa.string()),
+    }
+    rt = pc.cast(col("__REALTIME_TIMESTAMP"), pa.int64())
+    out_cols["@timestamp"] = pc.cast(rt, pa.timestamp("us"))
+    prio = pc.cast(col("PRIORITY"), pa.int64())
+    sev_idx = pc.bit_wise_and(prio, 7)
+    out_cols["severity"] = SYSLOG_SEVERITY.take(sev_idx)
+    out_cols["facility"] = pc.cast(col("SYSLOG_FACILITY"), pa.float64())
+    keep = [c for c in batch.column_names
+            if not (c.startswith("_") or c.isupper())]
+    out = batch.select(keep) if keep else pa.table({})
+    res = batch.select(keep)
+    for name, arr in out_cols.items():
+        res = res.append_column(name, arr)
+    return res
+
+
+_KV_RE = re.compile(r"(\w+)=(\"[^\"]*\"|\S+)")
+
+
+def heroku_router_parse(batch: pa.Table,
+                        text_col: str = "message") -> pa.Table:
+    """Extract ``key=value`` pairs from router lines into a JSON overflow
+    column (+ promoted path/status/bytes), and detect embedded JSON
+    messages (heroku-format.js:40-56)."""
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    kv_json = np.full(n, None, dtype=object)
+    path = np.full(n, None, dtype=object)
+    status = np.full(n, np.nan)
+    nbytes = np.full(n, np.nan)
+    json_body = np.full(n, None, dtype=object)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        s = t.strip()
+        if s.startswith("{") and s.endswith("}"):
+            try:
+                json.loads(s)
+                json_body[i] = s
+                continue
+            except ValueError:
+                pass
+        kvs = dict(_KV_RE.findall(t))
+        if kvs:
+            kv_json[i] = json.dumps(kvs, sort_keys=True,
+                                    separators=(",", ":"))
+            path[i] = kvs.get("path", "").strip('"') or None
+            if kvs.get("status", "").isdigit():
+                status[i] = float(kvs["status"])
+            b = kvs.get("bytes", "")
+            if b.isdigit():
+                nbytes[i] = float(b)
+    out = batch.append_column("router_kv", pa.array(kv_json, pa.string()))
+    out = out.append_column("router_path", pa.array(path, pa.string()))
+    out = out.append_column("router_status", pa.array(status, pa.float64()))
+    out = out.append_column("router_bytes", pa.array(nbytes, pa.float64()))
+    return out.append_column("json_body", pa.array(json_body, pa.string()))
+
+
+class DeviceDetector:
+    """Actor-pool user-agent parser (regex set compiled once per actor —
+    the DeviceDetector-instance analogue)."""
+
+    RULES = [
+        # (browser, regex) — ordered, first match wins
+        ("Edge", re.compile(r"Edg(e|A|iOS)?/(?P<v>[\d.]+)")),
+        ("Chrome", re.compile(r"Chrome/(?P<v>[\d.]+)")),
+        ("Firefox", re.compile(r"Firefox/(?P<v>[\d.]+)")),
+        ("Safari", re.compile(r"Version/(?P<v>[\d.]+).*Safari/")),
+        ("curl", re.compile(r"curl/(?P<v>[\d.]+)")),
+        ("bot", re.compile(r"(?i)(bot|crawler|spider)")),
+    ]
+    OS_RULES = [
+        ("Windows", re.compile(r"Windows NT")),
+        ("macOS", re.compile(r"Mac OS X")),
+        ("Android", re.compile(r"Android")),
+        ("iOS", re.compile(r"(iPhone|iPad) OS|iPhone")),
+        ("Linux", re.compile(r"Linux")),
+    ]
+
+    def __init__(self, ua_col: str = "user_agent"):
+        self.ua_col = ua_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uas = batch[self.ua_col].to_numpy(zero_copy_only=False)
+        browser = np.full(len(uas), None, dtype=object)
+        version = np.full(len(uas), None, dtype=object)
+        os_name = np.full(len(uas), None, dtype=object)
+        for i, ua in enumerate(uas):
+            if not ua:
+                continue
+            for name, rx in self.RULES:
+                m = rx.search(ua)
+                if m:
+                    browser[i] = name
+                    version[i] = (m.groupdict() or {}).get("v")
+                    break
+            for name, rx in self.OS_RULES:
+                if rx.search(ua):
+                    os_name[i] = name
+                    break
+        out = batch.append_column("ua_browser", pa.array(browser, pa.string()))
+        out = out.append_column("ua_version", pa.array(version, pa.string()))
+        return out.append_column("ua_os", pa.array(os_name, pa.string()))

@@ -1,0 +1,83 @@
+"""Resume-from-checkpoint equivalence (FIXTURES.md §6): an interrupted
+run resumed must produce the same sink contents + aggregates as an
+uninterrupted run, without re-executing completed partitions."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+
+def sorted_rows(out_dir):
+    ds = pads.dataset(out_dir, partitioning="hive",
+                      ignore_prefixes=[".", "_", "manifest"])
+    df = ds.to_table().to_pandas()
+    df["sink"] = df["sink"].astype(str)
+    df["partition"] = df["partition"].astype(str)
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_checkpointed_run_and_resume(ray_session, sf_small,
+                                     tool_catalog_path, tmp_path):
+    from logagent_js_ray.sources.transcripts import list_fragments
+    from logagent_js_ray.state.manifest import Manifest, run_checkpointed
+
+    frags = list_fragments(sf_small)
+    assert len(frags) >= 3
+
+    # uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    ref = run_checkpointed(sf_small, full_dir,
+                           tool_catalog=tool_catalog_path)
+    assert ref["ran"] == len(frags) and ref["skipped"] == 0
+    assert ref["rows_in"] == ref["rows_out"] > 0
+
+    # interrupted run: only the first 2 fragments completed
+    resume_dir = str(tmp_path / "resume")
+    first_two = os.path.dirname(frags[0])
+    run_checkpointed(frags[:2], resume_dir, tool_catalog=tool_catalog_path)
+    man = Manifest(os.path.join(resume_dir, "manifest.jsonl"))
+    assert len(man.load()) == 2
+
+    # record completed-partition file mtimes, then resume the full input
+    pre = {}
+    for pid in list(man.load()):
+        pdir = os.path.join(resume_dir, f"partition={pid}")
+        pre[pid] = {f: os.path.getmtime(os.path.join(r, f))
+                    for r, _, fs in os.walk(pdir) for f in fs}
+    res = run_checkpointed(sf_small, resume_dir,
+                           tool_catalog=tool_catalog_path)
+    assert res["skipped"] == 2
+    assert res["ran"] == len(frags) - 2
+
+    # completed partitions were NOT rewritten
+    for pid, files in pre.items():
+        pdir = os.path.join(resume_dir, f"partition={pid}")
+        now = {f: os.path.getmtime(os.path.join(r, f))
+               for r, _, fs in os.walk(pdir) for f in fs}
+        assert now == files
+
+    # identical content + identical aggregate counters
+    a, b = sorted_rows(full_dir), sorted_rows(resume_dir)
+    assert a.equals(b)
+    assert res["sinks"] == ref["sinks"]
+    assert res["rows_out"] == ref["rows_out"]
+
+
+def test_registry_change_invalidates_checkpoint(ray_session, sf_small,
+                                                tool_catalog_path, tmp_path):
+    """A manifest line from a different pattern-registry version must not
+    be treated as complete (lineage includes the registry)."""
+    from logagent_js_ray.state.manifest import Manifest, run_checkpointed
+    out = str(tmp_path / "out")
+    run_checkpointed(sf_small, out, tool_catalog=tool_catalog_path)
+    man = Manifest(os.path.join(out, "manifest.jsonl"))
+    recs = man.load()
+    # forge stale registry versions
+    with open(man.path, "w") as f:
+        for rec in recs.values():
+            rec["registry_version"] = "stale000"
+            f.write(json.dumps(rec) + "\n")
+    res = run_checkpointed(sf_small, out, tool_catalog=tool_catalog_path)
+    assert res["skipped"] == 0 and res["ran"] == len(recs)
