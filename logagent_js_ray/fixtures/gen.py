@@ -1,0 +1,230 @@
+"""Deterministic synthetic transcript fixture generator.
+
+Produces the primary input table per ``BASELINE.json.input_hint``:
+
+    (conv_id:string, turn_idx:int32, role:string, text:string,
+     tool:string, ts:timestamp[us])
+
+Design per FIXTURES.md: Zipf-ish conversation sizes (one hot conv_id to
+exercise skew salting), text payload kinds chosen by a stable hash of
+``(conv_id, turn_idx)`` so every scale contains all parser paths in fixed
+proportions, rows written globally shuffled so the pipeline's
+``sort(conv_id, turn_idx)`` is load-bearing, and all timestamps derived
+arithmetically from a fixed base epoch (no wall-clock reads anywhere).
+
+The payload kinds mirror the reference's parser unit tests
+(/root/reference/test/test.js:5-121):
+
+  json    -> parser JSON fast path   (lib/parser/parser.js:390-468)
+  bunyan  -> bunyan normalization    (lib/parser/parser.js:424-439)
+  access  -> access-log pattern + transform (patterns.yml:544-568)
+  prose   -> fallback record         (lib/parser/parser.js:559-564)
+  pii     -> login-event pattern feeding the mask stage (hash-fields.js)
+  syslog  -> syslog priority decode  (patterns.yml:885-938)
+
+Everything is pure numpy/pyarrow — no Ray, importable anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+BASE_EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("search", "browser", "python", "sql")
+
+# kind thresholds over crc % 100 (cumulative): json 15, bunyan 25,
+# access 55, prose 75, pii 90, syslog 100
+KIND_JSON, KIND_BUNYAN, KIND_ACCESS, KIND_PROSE, KIND_PII, KIND_SYSLOG = range(6)
+_KIND_CUM = np.array([15, 25, 55, 75, 90, 100])
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+# Scale-factor name -> approximate total turn count (FIXTURES.md §1).
+SF_TURNS = {"sf0.001": 5_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+FIXTURE_ROOT = os.environ.get(
+    "LJR_FIXTURE_ROOT", os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+)
+
+
+def _crc(conv: int, turn: int) -> int:
+    return zlib.crc32(f"conv-{conv:08d}:{turn}".encode())
+
+
+def _iso(us: int) -> str:
+    """Render microsecond epoch as ISO-8601 Z string (second precision)."""
+    s, _ = divmod(us, 1_000_000)
+    days, rem = divmod(s, 86_400)
+    hh, rem = divmod(rem, 3_600)
+    mm, ss = divmod(rem, 60)
+    y, mo, d = _civil_from_days(days)
+    return f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mm:02d}:{ss:02d}Z"
+
+
+def _clf_ts(us: int) -> str:
+    """Render microsecond epoch as common-log-format time '+0000'."""
+    s, _ = divmod(us, 1_000_000)
+    days, rem = divmod(s, 86_400)
+    hh, rem = divmod(rem, 3_600)
+    mm, ss = divmod(rem, 60)
+    y, mo, d = _civil_from_days(days)
+    return f"{d:02d}/{_MONTHS[mo - 1]}/{y:04d}:{hh:02d}:{mm:02d}:{ss:02d} +0000"
+
+
+def _civil_from_days(z: int) -> tuple[int, int, int]:
+    # Howard Hinnant's days-from-civil inverse (public-domain algorithm).
+    z += 719_468
+    era = z // 146_097
+    doe = z - era * 146_097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146_096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 if mp < 10 else mp - 9
+    return y + (1 if m <= 2 else 0), m, d
+
+
+def kind_of(conv: int, turn: int) -> int:
+    return int(np.searchsorted(_KIND_CUM, (_crc(conv, turn) % 100), side="right"))
+
+
+def _text_for(conv: int, turn: int, ts_us: int) -> str:
+    c = _crc(conv, turn)
+    k = kind_of(conv, turn)
+    if k == KIND_JSON:
+        return ('{"message": "metric update %d", "counter": %d, '
+                '"service": "svc-%d", "region": "r%d"}'
+                % (c % 1000, c % 100, c % 5, c % 3))
+    if k == KIND_BUNYAN:
+        level = (20, 30, 40, 50)[c % 4]
+        return ('{"pid":%d,"level":%d,"msg":"job %d done","time":"%s","v":0}'
+                % (6000 + c % 100, level, c % 1000, _iso(ts_us)))
+    if k == KIND_ACCESS:
+        ip = f"{10 + c % 90}.{(c >> 8) % 256}.{(c >> 16) % 256}.{c % 250 + 1}"
+        method = ("GET", "GET", "GET", "POST", "PUT", "DELETE")[c % 6]
+        path = f"/page/{c % 50}"
+        if c % 12 == 0:  # dash variants hit the '- -> 0' transform
+            status, size = "-", "-"
+        else:
+            status = ("200", "200", "200", "301", "404", "500")[(c >> 4) % 6]
+            size = str(c % 5000)
+        return (f'{ip} - - [{_clf_ts(ts_us)}] "{method} {path} HTTP/1.1" '
+                f'{status} {size} "-" "Mozilla/5.0"')
+    if k == KIND_PROSE:
+        words = ("a simple log line matching no patterns",
+                 "free form note about the run",
+                 "totally unstructured chatter here",
+                 "nothing to see in this line")[c % 4]
+        return f"{words} #{c % 10000}"
+    if k == KIND_PII:
+        user = f"user{c % 500}"
+        ip = f"{10 + c % 90}.{(c >> 8) % 256}.{(c >> 16) % 256}.{c % 250 + 1}"
+        return (f"login user={user} email={user}@example.com ip={ip} "
+                f"token=tok_{c % 0xFFFFFF:06x}")
+    # syslog
+    pri = c % 192
+    return (f"<{pri}>1 {_iso(ts_us)} host{c % 10} app{c % 5} - - - "
+            f"task {c % 1000} finished")
+
+
+def generate_transcripts(total_turns: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # conversation sizes: one hot conversation takes ~5% of all turns,
+    # the rest Zipf-ish in [2, 60]
+    hot = max(4, total_turns // 20)
+    sizes = [hot]
+    remaining = total_turns - hot
+    while remaining > 0:
+        n = int(min(2 + rng.zipf(1.6), 60, remaining))
+        sizes.append(n)
+        remaining -= n
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    for ci, n in enumerate(sizes):
+        cid = f"conv-{ci:08d}"
+        conv_start = BASE_EPOCH_US + ci * 137_000_000  # 137s stagger per conv
+        for t in range(n):
+            c = _crc(ci, t)
+            if t == 0:
+                role = "system"
+            else:
+                role = ROLES[(0, 0, 0, 1, 1, 1, 1, 2, 3, 3)[c % 10]]
+            tool = TOOLS[c % 4] if role == "tool" else "none"
+            ts_us = conv_start + t * 13_000_000 + (c % 7) * 1_000_000
+            conv_ids.append(cid)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(_text_for(ci, t, ts_us))
+            tools.append(tool)
+            tss.append(ts_us)
+    tbl = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+    })
+    perm = rng.permutation(tbl.num_rows)  # global shuffle: sort is load-bearing
+    return tbl.take(pa.array(perm))
+
+
+def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None = None,
+                       force: bool = False) -> str:
+    """Generate (once) and return the fixture directory for scale ``sf``.
+
+    Writes ``<root>/<sf>/transcripts/part-XXX.parquet`` — several files so
+    partition-granular resume (state/manifest.py) has real fragments.
+    """
+    root = root or FIXTURE_ROOT
+    out_dir = os.path.join(os.path.abspath(root), sf, "transcripts")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    total = SF_TURNS[sf] if sf in SF_TURNS else int(sf)
+    tbl = generate_transcripts(total)
+    if num_files is None:
+        num_files = 4 if total <= 10_000 else 8
+    os.makedirs(out_dir, exist_ok=True)
+    step = -(-tbl.num_rows // num_files)
+    for i in range(num_files):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, os.path.join(out_dir, f"part-{i:03d}.parquet"))
+    with open(done, "w") as f:
+        f.write(f"rows={tbl.num_rows}\n")
+    return out_dir
+
+
+def ensure_tool_catalog(root: str | None = None) -> str:
+    """Small dimension table for the enrichment lookup (FIXTURES.md §5)."""
+    root = root or FIXTURE_ROOT
+    path = os.path.join(os.path.abspath(root), "tool_catalog.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table({
+        "tool": pa.array(["search", "browser", "python", "sql", "none"]),
+        "tool_family": pa.array(["retrieval", "retrieval", "code", "code", "chat"]),
+        "cost_tier": pa.array(["low", "medium", "high", "medium", "free"]),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in SF_TURNS:
+        sf = "sf0.01"
+    return ensure_transcripts(sf)
