@@ -35,7 +35,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+GEN_VERSION = 2  # bump to invalidate cached fixture dirs
 BASE_EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+# conversation start times wrap within this window so the hourly-bucket
+# cube stays realistic (a log corpus has many events per hour, not ~40;
+# unbounded staggering made the cube cardinality ~ row count at 8M turns)
+SPAN_US = 90 * 86_400 * 1_000_000
 
 ROLES = ("user", "assistant", "system", "tool")
 TOOLS = ("search", "browser", "python", "sql")
@@ -49,7 +54,11 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
 # Scale-factor name -> approximate total turn count (FIXTURES.md §1).
-SF_TURNS = {"sf0.001": 5_000, "sf0.01": 60_000, "sf0.1": 600_000}
+# "sfbench" is the two-parallelism scaling corpus: large enough that
+# compute dominates Ray's fixed per-stage overheads (~5 s), which is the
+# regime the 8-vs-32-CPU efficiency criterion is meant to measure.
+SF_TURNS = {"sf0.001": 5_000, "sf0.01": 60_000, "sf0.1": 600_000,
+            "sfbench": 24_000_000}
 
 FIXTURE_ROOT = os.environ.get(
     "LJR_FIXTURE_ROOT", os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
@@ -151,7 +160,7 @@ def generate_transcripts(total_turns: int, seed: int = SEED) -> pa.Table:
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
     for ci, n in enumerate(sizes):
         cid = f"conv-{ci:08d}"
-        conv_start = BASE_EPOCH_US + ci * 137_000_000  # 137s stagger per conv
+        conv_start = BASE_EPOCH_US + (ci * 137_000_000) % SPAN_US
         for t in range(n):
             c = _crc(ci, t)
             if t == 0:
@@ -188,12 +197,14 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
     root = root or FIXTURE_ROOT
     out_dir = os.path.join(os.path.abspath(root), sf, "transcripts")
     done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done) and not force:
-        return out_dir
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={GEN_VERSION}" in f.read():
+                return out_dir
     total = SF_TURNS[sf] if sf in SF_TURNS else int(sf)
     tbl = generate_transcripts(total)
     if num_files is None:
-        num_files = 4 if total <= 10_000 else 8
+        num_files = min(64, max(4, total // 250_000 or 4, 8 if total > 10_000 else 4))
     os.makedirs(out_dir, exist_ok=True)
     step = -(-tbl.num_rows // num_files)
     for i in range(num_files):
@@ -202,8 +213,51 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
             break
         pq.write_table(chunk, os.path.join(out_dir, f"part-{i:03d}.parquet"))
     with open(done, "w") as f:
-        f.write(f"rows={tbl.num_rows}\n")
+        f.write(f"rows={tbl.num_rows} v={GEN_VERSION}\n")
     return out_dir
+
+
+def ensure_rawlines(root: str | None = None, n_convs: int = 300,
+                    force: bool = False) -> str:
+    """Raw-line fixture WITH continuation lines (indented), exercising
+    the multiline merge operator (FIXTURES.md §2; reference
+    lib/parser/multiLine.js). Same transcript shape; ~1/3 of lines are
+    continuations starting with whitespace."""
+    root = root or FIXTURE_ROOT
+    path = os.path.join(os.path.abspath(root), "rawlines.parquet")
+    if os.path.exists(path) and not force:
+        return path
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    for ci in range(n_convs):
+        cid = f"raw-{ci:06d}"
+        n = 3 + zlib.crc32(cid.encode()) % 20
+        for t in range(n):
+            c = _crc(ci + 1_000_000, t)
+            if t > 0 and c % 3 == 0:
+                text = f"  at frame_{c % 50} (line {c % 1000})"
+            elif c % 7 == 0:
+                text = f"Traceback: failure {c % 100}"
+            else:
+                text = f"event {c % 10000} happened"
+            conv_ids.append(cid)
+            turn_idxs.append(t)
+            roles.append("logger")
+            texts.append(text)
+            tools.append("none")
+            tss.append(BASE_EPOCH_US + (ci * 977 + t * 13) * 1_000_000)
+    tbl = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+    })
+    rng = np.random.default_rng(SEED + 1)
+    tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
+    return path
 
 
 def ensure_tool_catalog(root: str | None = None) -> str:

@@ -36,11 +36,8 @@ import ray.data
 from ..fixtures import gen as fixgen
 from ..sources.transcripts import read_transcripts
 from ..stages.aggregate import agg_counts, make_time_bucket_fn
-from ..stages.enrich import Enricher, put_lookup
-from ..stages.filters import make_prep_fn
-from ..stages.mask import MaskConfig, make_mask_fn
-from ..stages.parse import make_parse_fn
-from ..stages.route import RouteConfig, make_route_fn
+from ..stages.enrich import put_lookup
+from ..stages.mask import MaskConfig
 
 # Default routing table — the analogue of the ES output's ``indices:``
 # map over logSource (FIXTURES.md §3).
@@ -64,27 +61,37 @@ def build_routed(input_path: str | list[str],
                  routes: list[tuple[str, str]] | None = None,
                  drop_unmatched: bool = False,
                  tool_catalog: str | None = None,
-                 enrich_concurrency=(2, 8)) -> "ray.data.Dataset":
-    """The lazy parse->mask->enrich->route dataset (no consumption)."""
-    ds = read_transcripts(input_path)
-    ds = ds.map_batches(make_prep_fn(), batch_format="pyarrow",
-                        batch_size=PARSE_BATCH_SIZE)
-    ds = ds.map_batches(make_parse_fn(pattern_paths), batch_format="pyarrow",
-                        batch_size=PARSE_BATCH_SIZE)
-    if mask is not None:
-        ds = ds.map_batches(make_mask_fn(mask), batch_format="pyarrow",
-                            batch_size=PARSE_BATCH_SIZE)
+                 concurrency=None, acc=None) -> "ray.data.Dataset":
+    """The lazy parse->mask->enrich->route dataset (no consumption).
+
+    One FUSED actor-pool operator carries every stage (state loaded once
+    per actor; see pipelines/fused.py for why), sized to the session's
+    CPUs. ``acc`` optionally wires in the cube-accumulator actor so a
+    consuming write also yields the aggregates in the same pass.
+
+    Block/batch geometry (measured in BASELINE.md): one batch per BLOCK
+    (``batch_size=None``) and ~4 blocks per CPU. Ray's per-batch
+    machinery costs far more than our vectorized per-row work, so fewer,
+    larger batches win; 4 blocks/CPU keeps the pool load-balanced
+    against stragglers without re-entering the overhead regime."""
+    from .fused import FlagshipStage, pool_size
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if \
+        _ray.is_initialized() else 8
+    ds = read_transcripts(input_path, override_num_blocks=cpus * 4)
     if tool_catalog is None:
         tool_catalog = fixgen.ensure_tool_catalog()
     ref = put_lookup(tool_catalog)
     ds = ds.map_batches(
-        Enricher, fn_constructor_kwargs={"lookup_ref": ref, "key": "tool"},
-        batch_format="pyarrow", batch_size=PARSE_BATCH_SIZE,
-        concurrency=enrich_concurrency)
-    cfg = RouteConfig(routes or DEFAULT_ROUTES, default_sink="sink_default",
-                      drop_unmatched=drop_unmatched)
-    ds = ds.map_batches(make_route_fn(cfg), batch_format="pyarrow",
-                        batch_size=PARSE_BATCH_SIZE)
+        FlagshipStage,
+        fn_constructor_kwargs={
+            "lookup_ref": ref, "mask_cfg": mask,
+            "routes": routes or DEFAULT_ROUTES,
+            "pattern_paths": pattern_paths,
+            "drop_unmatched": drop_unmatched, "acc": acc,
+        },
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency or pool_size())
     return ds
 
 
@@ -114,30 +121,46 @@ def marginals_from_cube(cube) -> dict:
 
 
 def run_flagship(input_path: str, out_dir: str | None = None,
+                 write_concurrency: int | None = None,
                  **kwargs) -> dict:
-    """Consume the pipeline: fan out sinks to partitioned Parquet and
-    compute the aggregate marginals. Returns small pandas results plus
-    the output directory."""
+    """Consume the pipeline: fan out sinks to partitioned Parquet, then
+    compute the aggregate cube from a COLUMN-PRUNED read-back of the
+    written sinks (5 of ~30 columns leave disk; partial-per-block +
+    tree merge, all parallel). Read-back beats funneling per-block
+    partials through an accumulator actor: at 8M turns the cube has
+    ~60k keys, so partials are large and a single actor serializes
+    ~hundreds of MB (measured +14 s), while read-back costs ~3 s and
+    scales with CPUs. Returns small pandas results + the output dir."""
+    import time as _time
+    _dbg = os.environ.get("GRAFT_TIMING") == "1"
+    _t0 = _time.time()
     routed = build_routed(input_path, **kwargs)
     if out_dir:
         # a rerun must not append to a previous run's sink files — the
-        # read-back aggregate would double-count (resumable runs go
-        # through state/manifest.run_checkpointed, which is atomic
-        # per-partition instead of wipe-and-rewrite)
+        # aggregates would double-count (resumable runs go through
+        # state/manifest.run_checkpointed, which is atomic per-partition
+        # instead of wipe-and-rewrite)
         import shutil
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
-        routed.write_parquet(out_dir, partition_cols=["sink"])
-        # aggregates read back ONLY the cube columns from the written
-        # sinks (column-pruned) instead of recomputing the full parse
+        # on a lone local disk cap writers (~8/node measured best);
+        # on tmpfs / distributed FS unlimited writers scale with CPUs
+        routed.write_parquet(out_dir, partition_cols=["sink"],
+                             concurrency=write_concurrency)
+        if _dbg:
+            print(f"[timing] write: {_time.time() - _t0:.1f}s", flush=True)
+            _t0 = _time.time()
         cols = ["sink", "role", "tool", "@timestamp", "size"]
         back = ray.data.read_parquet(out_dir, columns=cols)
         cube = agg_counts(
-            back.map_batches(make_time_bucket_fn(), batch_format="pyarrow"),
+            back.map_batches(make_time_bucket_fn(), batch_format="pyarrow",
+                             batch_size=None),
             ["sink", "role", "tool", "time_bucket"], sum_cols=["size"])
     else:
         cube = aggregate_cube(routed)
-    cube_df = cube.to_pandas()  # tiny: |sinks|x|roles|x|tools|x|hours| rows
+    cube_df = cube.to_pandas()
+    if _dbg:
+        print(f"[timing] cube: {_time.time() - _t0:.1f}s", flush=True)
     return {
         "out_dir": out_dir,
         "cube": cube_df,

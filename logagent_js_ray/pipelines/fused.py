@@ -1,0 +1,137 @@
+"""Fused flagship stage: prep -> parse -> mask -> enrich -> route in ONE
+actor-pool ``map_batches`` operator, plus a cube-accumulator actor so the
+sink write and the aggregate cube come out of a SINGLE pass over the
+data.
+
+Why fused: each Ray Data operator boundary costs serialization +
+scheduling regardless of CPU count; at fixed input size those costs are
+the serial fraction that caps scaling efficiency. All five stages are
+per-batch transforms with per-actor state (compiled registry, lookup
+table, mask keys) — exactly logagent's single-process chain
+(/root/reference/bin/logagent.js:653-713), so one actor pool holding all
+stage state is the faithful AND fastest mapping. The pool is sized to
+the session's CPUs at build time.
+
+Why an accumulator actor: Ray Data datasets are single-consumer; writing
+sinks AND aggregating otherwise needs a second pass (recompute or
+read-back). The CubeAccumulator is the printStats counters rebuild
+(/root/reference/lib/core/printStats.js:22-83): each batch fires its
+partial cube at the actor keyed by a content fingerprint, so task
+RETRIES cannot double-count (last write wins per batch key). This is the
+documented "raw actor where the Dataset API can't express it" escape
+hatch — a shared mutable aggregate fed from inside a streaming pass.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..stages.aggregate import add_time_bucket
+from ..stages.enrich import Enricher
+from ..stages.filters import make_prep_fn
+from ..stages.mask import MaskConfig, mask_batch
+from ..stages.parse import parse_batch
+from ..registry import load_registry
+from ..stages.route import RouteConfig, route_batch
+
+CUBE_KEYS = ["sink", "role", "tool", "time_bucket"]
+
+
+@ray.remote(num_cpus=0)
+class CubeAccumulator:
+    """Keyed partial-cube sink; retry-safe via last-write-wins."""
+
+    def __init__(self):
+        self.parts: dict[int, pd.DataFrame] = {}
+
+    def add(self, key: int, df: pd.DataFrame) -> None:
+        self.parts[key] = df
+
+    def merged(self) -> pd.DataFrame:
+        if not self.parts:
+            return pd.DataFrame(columns=CUBE_KEYS + ["n", "sum_size"])
+        allp = pd.concat(self.parts.values(), ignore_index=True)
+        g = allp.groupby(CUBE_KEYS, dropna=False, sort=False)
+        out = pd.DataFrame({
+            "n": g["n"].sum(),
+            "sum_size": g["sum_size"].sum(min_count=1),
+        }).reset_index()
+        return out
+
+    def n_batches(self) -> int:
+        return len(self.parts)
+
+
+def _batch_key(batch: pa.Table) -> int:
+    """Content fingerprint of a batch (stable across task retries)."""
+    c0 = str(batch["conv_id"][0].as_py())
+    cl = str(batch["conv_id"][-1].as_py())
+    t0 = int(batch["turn_idx"][0].as_py())
+    tl = int(batch["turn_idx"][-1].as_py())
+    return zlib.crc32(f"{c0}:{t0}:{cl}:{tl}:{batch.num_rows}".encode())
+
+
+class FlagshipStage:
+    """The whole per-row chain as one actor; all state built in
+    ``__init__`` (once per actor): compiled pattern registry, broadcast
+    lookup table, mask config, compiled routes."""
+
+    def __init__(self, lookup_ref, mask_cfg: MaskConfig | None,
+                 routes: list[tuple[str, str]], pattern_paths=None,
+                 drop_unmatched: bool = False, acc=None,
+                 detect_severity: bool = False):
+        # each actor owns ONE cpu; Arrow's default per-process thread
+        # pool is sized to the MACHINE, so a 30-actor pool spawns ~30x32
+        # kernel threads that thrash each other. Pin to 1.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        self.prep = make_prep_fn()
+        self.registry = load_registry(
+            list(pattern_paths) if pattern_paths else None)
+        self.mask_cfg = mask_cfg
+        self.enricher = Enricher(lookup_ref, key="tool",
+                                 detect_severity=detect_severity)
+        self.route_cfg = RouteConfig(routes, default_sink="sink_default",
+                                     drop_unmatched=drop_unmatched)
+        self.acc = acc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.prep(batch)
+        b = parse_batch(b, self.registry)
+        if self.mask_cfg is not None:
+            b = mask_batch(b, self.mask_cfg)
+        b = self.enricher(b)
+        b = route_batch(b, self.route_cfg)
+        if self.acc is not None and b.num_rows:
+            wb = add_time_bucket(b)
+            pdf = wb.select(CUBE_KEYS + ["size"]).to_pandas()
+            g = pdf.groupby(CUBE_KEYS, dropna=False, sort=False)
+            part = pd.DataFrame({
+                "n": g.size(),
+                "sum_size": g["size"].sum(min_count=1),
+            }).reset_index()
+            # BLOCKING add: write_parquet returning must imply every
+            # partial has landed (fire-and-forget would race the
+            # driver's merged() read). Cost is one ~ms actor roundtrip
+            # per 16k-row batch; at larger scale shard accumulators by
+            # key hash to keep the actor off the critical path.
+            ray.get(self.acc.add.remote(_batch_key(batch), part))
+        return b
+
+
+def write_concurrency() -> int:
+    """Parquet-encode writers: more than ~8 concurrent writers contend
+    on the disk (measured: 32 unlimited writers are 2x slower than 8),
+    and unlimited write tasks steal CPUs from the flagship pool."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(8, cpus // 4))
+
+
+def pool_size() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus - write_concurrency())

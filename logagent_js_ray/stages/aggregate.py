@@ -52,14 +52,15 @@ def make_time_bucket_fn(ts_col: str = "@timestamp", unit: str = "hour",
 
 
 def _partial_fn(keys: list[str], sum_cols: list[str]):
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, dropna=False, sort=False)
-        out = g.size().rename("n").reset_index()
-        if sum_cols:
-            sums = g[sum_cols].sum(min_count=1).reset_index(drop=True)
-            for c in sum_cols:
-                out[f"sum_{c}"] = sums[c]
-        return out
+    """Per-block partial aggregation via pyarrow's C++ hash-aggregate
+    (null keys form their own group; sums skip nulls with min_count=1
+    semantics, matching the pandas tree-merge above it)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        aggs = [([], "count_all")] + [(c, "sum") for c in sum_cols]
+        g = batch.group_by(keys).aggregate(aggs)
+        names = {"count_all": "n"}
+        names.update({f"{c}_sum": f"sum_{c}" for c in sum_cols})
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
     return _partial
 
 
@@ -87,7 +88,7 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
 
 
 def tree_merge(partials: "ray.data.Dataset", keys: list[str],
-               spec: dict[str, str], fanout: int = 32) -> "ray.data.Dataset":
+               spec: dict[str, str], fanout: int = 8) -> "ray.data.Dataset":
     """Associative fan-in merge of per-block partial aggregates: one
     intermediate combine level (``fanout`` partitions), then a root
     merge. Every task sees at most (keys x fanout-share) rows."""
@@ -105,7 +106,7 @@ def agg_counts(ds: "ray.data.Dataset", keys: list[str],
     inside map_batches, then a tree merge of the partials."""
     sum_cols = sum_cols or []
     partials = ds.map_batches(_partial_fn(keys, sum_cols),
-                              batch_format="pandas", batch_size=batch_size)
+                              batch_format="pyarrow", batch_size=batch_size)
     spec = {"n": "sum"}
     for c in sum_cols:
         spec[f"sum_{c}"] = "sum"

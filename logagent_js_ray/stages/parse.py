@@ -185,6 +185,20 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
     acc.cols["@timestamp"] = pc.coalesce(acc.cols["@timestamp"],
                                          pc.cast(row_ts, pa.timestamp("us")))
 
+    # ---- autohash: PII mask at parse time (parser.js:231-235,270-272:
+    # field NAMES matching the autohash regex get their values hashed)
+    if registry.autohash:
+        import hashlib
+        import re as _re
+        ah = _re.compile(registry.autohash)
+        for name in list(acc.cols):
+            if acc.cols[name].type == pa.string() and ah.search(name) \
+                    and name not in ("message", "logSource", "_type"):
+                vals = acc.cols[name].to_numpy(zero_copy_only=False)
+                hashed = [hashlib.sha256(v.encode()).hexdigest()
+                          if v is not None else None for v in vals]
+                acc.cols[name] = pa.array(hashed, pa.string())
+
     out = batch
     for name, _ in schema_fields:
         out = out.append_column(name, acc.cols[name])

@@ -1,0 +1,43 @@
+"""Template file sink + stdout renderer (SURVEY.md §2.7)."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+
+def test_render_template_column():
+    from logagent_js_ray.sinks.files import render_template_column
+    t = pa.table({"sink": ["a", "b"], "role": ["user", None]})
+    out = render_template_column(t, "logs-{sink}-{role}.out")
+    assert out["file_name"].to_pylist() == ["logs-a-user.out", "logs-b-null.out"]
+
+
+def test_write_template_sink(ray_session, tmp_path):
+    import ray.data
+    from logagent_js_ray.sinks.files import write_template_sink
+    rows = [
+        {"logSource": "user", "_type": "json", "sink": "s1", "x": 1},
+        {"logSource": "tool", "_type": "json", "sink": "s2", "x": 2},
+        {"logSource": "user", "_type": None, "sink": "s1", "x": 3},
+    ]
+    out = str(tmp_path / "sink")
+    write_template_sink(ray.data.from_items(rows), out,
+                        template="{sink}-{logSource}",
+                        source_match="^user$")
+    dirs = sorted(p.split("file_name=")[-1]
+                  for p in glob.glob(f"{out}/file_name=*"))
+    assert dirs == ["s1-user"]  # tool row gated out
+    ds = pads.dataset(out, partitioning="hive")
+    assert ds.count_rows() == 2
+
+
+def test_show_formats(ray_session):
+    import ray.data
+    from logagent_js_ray.sinks.files import show
+    ds = ray.data.from_items([{"a": 1, "b": "x"}])
+    ld = show(ds, fmt="ldjson")
+    assert json.loads(ld) == {"a": 1, "b": "x"}
+    assert '"a": 1' in show(ds, fmt="pretty")
+    assert "a: 1" in show(ds, fmt="yaml")
