@@ -99,7 +99,7 @@ def aggregate_cube(routed: "ray.data.Dataset") -> "ray.data.Dataset":
     """One-pass partial cube over (sink, role, tool, hour bucket) with
     sum(size) — everything the reference's sql filter windows need."""
     ds = routed.map_batches(make_time_bucket_fn(), batch_format="pyarrow",
-                            batch_size=PARSE_BATCH_SIZE)
+                            batch_size=None)
     return agg_counts(ds, ["sink", "role", "tool", "time_bucket"],
                       sum_cols=["size"])
 

@@ -101,7 +101,7 @@ def tree_merge(partials: "ray.data.Dataset", keys: list[str],
 
 def agg_counts(ds: "ray.data.Dataset", keys: list[str],
                sum_cols: list[str] | None = None,
-               batch_size: int = 65536) -> "ray.data.Dataset":
+               batch_size: int | None = None) -> "ray.data.Dataset":
     """count(*) (+ optional sums) by ``keys``: per-block partial combine
     inside map_batches, then a tree merge of the partials."""
     sum_cols = sum_cols or []

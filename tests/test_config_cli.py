@@ -1,0 +1,86 @@
+"""YAML config loader + CLI + event-time windows."""
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = "/root/repo"
+
+
+def test_load_config(tmp_path):
+    from logagent_js_ray.config import load_config
+    cfgf = tmp_path / "p.yml"
+    cfgf.write_text("""
+input:
+  parquet: {path: /data/in}
+options:
+  patterns: [/abs/extra.yml]
+inputFilter:
+  - grep: {include: foo, matchSource: '^user$'}
+outputFilter:
+  - hashFields: {fields: [email], algorithm: md5}
+  - ipTruncateFields: {fields: [ip]}
+  - removeFields: {fields: [secret]}
+  - enrich: {catalog: /abs/cat.parquet, detectSeverity: true}
+output:
+  sinks:
+    dir: /out
+    dropUnmatched: true
+    routes:
+      - {name: s1, match: '^a$'}
+""")
+    cfg = load_config(str(cfgf))
+    assert cfg.input_path == "/data/in"
+    assert cfg.pattern_files == ["/abs/extra.yml"]
+    assert cfg.grep[0]["include"] == "foo"
+    assert cfg.mask.hash_fields == ["email"] and cfg.mask.algo == "md5"
+    assert cfg.mask.ip_fields == ["ip"]
+    assert cfg.mask.remove_fields == ["secret"]
+    assert cfg.catalog == "/abs/cat.parquet" and cfg.detect_severity
+    assert cfg.routes == [("s1", "^a$")] and cfg.drop_unmatched
+    assert cfg.out_dir == "/out"
+
+
+def test_cli_end_to_end(sf_small, tmp_path):
+    """Full CLI run in a subprocess (owns its own Ray session)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "logagent_js_ray", "--glob", sf_small,
+         "--out", str(tmp_path / "sinks"), "--num-cpus", "4"],
+        capture_output=True, text=True, env={"PYTHONPATH": REPO,
+                                             "PATH": "/usr/bin:/bin",
+                                             "HOME": "/root"},
+        cwd=REPO, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert sum(stats["sinks"].values()) == 5000
+
+
+def test_sessionize(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.windows import sessionize
+    rows = []
+    base = pd.Timestamp("2025-01-01")
+    # user 1: two sessions (40-min gap); user 2: one session
+    for mins, v in [(0, 1.0), (10, 2.0), (50, 3.0)]:
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=mins),
+                     "value": v})
+    rows.append({"user_id": 2, "ts": base, "value": 9.0})
+    out = sessionize(ray.data.from_items(rows)).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["session_id"].tolist() == [0, 1, 0]
+    assert out["sum_value_cents"].tolist() == [300, 300, 900]
+
+
+def test_tumbling(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.windows import tumbling
+    base = pd.Timestamp("2025-01-01")
+    rows = [{"k": "a", "ts": base + pd.Timedelta(minutes=m)} for m in
+            (0, 5, 20, 65)]
+    out = tumbling(ray.data.from_items(rows), key="k", minutes=15) \
+        .to_pandas().sort_values("window").reset_index(drop=True)
+    assert out["n"].tolist() == [2, 1, 1]
