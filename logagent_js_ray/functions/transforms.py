@@ -45,9 +45,20 @@ def syslog_pri(cols: dict[str, pa.Array]) -> None:
     cols["message"] = cols.pop("msg_text")
 
 
+def cri_line(cols: dict[str, pa.Array]) -> None:
+    """CRI log line: message becomes the payload; stderr lines default
+    to severity 'error' (mirrors docker/CRI stream semantics,
+    kubernetesContainerd.js:65-130)."""
+    cols["message"] = cols.pop("msg_text")
+    cols["severity"] = pc.if_else(
+        pc.equal(cols["stream"], "stderr"),
+        pa.scalar("error", pa.string()), pa.scalar(None, pa.string()))
+
+
 TRANSFORMS = {
     "access_log": access_log,
     "syslog_pri": syslog_pri,
+    "cri_line": cri_line,
 }
 
 

@@ -2,26 +2,20 @@
 the transcript table — the rebuild of logagent-js's end-to-end dataflow
 (input -> input-filter -> parser -> output-filter -> output plugins,
 /root/reference/bin/logagent.js:653-713) as ONE lazy, streaming
-``ray.data.Dataset`` chain.
+``ray.data.Dataset`` chain:
 
-Stage order matches the reference's chain order exactly:
+  read_parquet (blocks ~ 4x CPUs)          | input plugin
+  -> map_batches(FlagshipStage, actors)    | the whole filter chain,
+       prep|parse|mask|enrich|route          fused; state per actor
+  -> write_parquet(partition_cols=[sink])  | output plugins fan-out
+  +  cube from column-pruned read-back     | sql output filter windows
 
-  read_parquet (column-pruned)            | input plugin
-  -> map_batches(prep)                    | ANSI strip + maxLogSize truncate
-  -> map_batches(parse)                   | LogParser (stateless tasks)
-  -> map_batches(mask)                    | output-filter masking chain
-  -> map_batches(Enricher, actor pool)    | lookup enrichment (stateful)
-  -> map_batches(route)                   | ES-output index routing
-  -> write_parquet(partition_cols=[sink]) | output plugins fan-out
-  +  agg cube -> marginals                | sql output filter windows
-
-Aggregation strategy (scale): ONE pass computes a per-batch partial
-"cube" over (sink, role, tool, time_bucket); only the tiny cube
-shuffles, and the per-role / per-tool / per-bucket marginals the
-reference's sql filter would emit are derived from the cube with
-driver-cheap second aggregates. A hot conv_id never concentrates
-shuffle load because partials collapse each block to one row per key
-(see stages/aggregate.py).
+The per-stage functions remain importable individually (stages/*);
+pipelines/fused.py explains why the flagship fuses them into one
+actor-pool operator. Aggregation: per-block partial "cube" over
+(sink, role, tool, time_bucket) merged through a fan-in tree — a hot
+conv_id never concentrates shuffle load because partials collapse each
+block to at most one row per key (stages/aggregate.py).
 """
 
 from __future__ import annotations

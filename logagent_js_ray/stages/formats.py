@@ -100,6 +100,136 @@ def heroku_router_parse(batch: pa.Table,
     return out.append_column("json_body", pa.array(json_body, pa.string()))
 
 
+_VERCEL_REPORT_RE = re.compile(
+    r"Duration: (?P<dur>[\d.]+) ms\s+Billed Duration: (?P<billed>[\d.]+) ms"
+    r"\s+Memory Size: (?P<mem>\d+) MB\s+Max Memory Used: (?P<used>\d+) MB"
+    r"(?P<cold>.*Init Duration)?")
+
+
+def vercel_format(batch: pa.Table, text_col: str = "message") -> pa.Table:
+    """Lambda REPORT metric extraction (duration, billed, memory, cold
+    start) — /root/reference/lib/plugins/output-filter/vercel-format.js:1-60."""
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    dur = np.full(n, np.nan)
+    billed = np.full(n, np.nan)
+    mem = np.full(n, np.nan)
+    used = np.full(n, np.nan)
+    cold = np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        if not t or "REPORT" not in t:
+            continue
+        m = _VERCEL_REPORT_RE.search(t)
+        if m:
+            dur[i] = float(m.group("dur"))
+            billed[i] = float(m.group("billed"))
+            mem[i] = float(m.group("mem"))
+            used[i] = float(m.group("used"))
+            cold[i] = bool(m.group("cold"))
+    out = batch.append_column("lambda_duration_ms", pa.array(dur))
+    out = out.append_column("lambda_billed_ms", pa.array(billed))
+    out = out.append_column("lambda_memory_mb", pa.array(mem))
+    out = out.append_column("lambda_memory_used_mb", pa.array(used))
+    return out.append_column("lambda_cold_start", pa.array(cold))
+
+
+def aws_ecs_format(batch: pa.Table,
+                   stream_col: str = "logSource") -> pa.Table:
+    """severity derived from the log-stream name
+    (/root/reference/lib/plugins/output-filter/aws-ecs-format.js:43-62)."""
+    import pyarrow.compute as pc
+    stream = pc.cast(batch[stream_col], pa.string())
+    sev = pc.if_else(
+        pc.match_substring_regex(stream, "(?i)error"),
+        pa.scalar("error", pa.string()),
+        pc.if_else(pc.match_substring_regex(stream, "(?i)warn"),
+                   pa.scalar("warning", pa.string()),
+                   pa.scalar(None, pa.string())))
+    if "severity" in batch.column_names:
+        i = batch.schema.get_field_index("severity")
+        merged = pc.coalesce(pc.cast(batch["severity"], pa.string()), sev)
+        return batch.set_column(i, "severity", merged)
+    return batch.append_column("severity", sev)
+
+
+def influx_projection(batch: pa.Table,
+                      exclude: tuple = ("text", "message")) -> pa.Table:
+    """InfluxDB line-protocol style type partitioning: NUMERIC columns
+    become 'fields', STRING columns become 'tags'
+    (/root/reference/lib/plugins/output/influxdb.js:209-241), serialized
+    as two JSON columns beside a ns timestamp."""
+    import json as _json
+    num_cols = [c for c in batch.column_names
+                if pa.types.is_floating(batch[c].type)
+                or pa.types.is_integer(batch[c].type)]
+    str_cols = [c for c in batch.column_names
+                if pa.types.is_string(batch[c].type) and c not in exclude]
+    n = batch.num_rows
+    fields = np.empty(n, dtype=object)
+    tags = np.empty(n, dtype=object)
+    num_np = {c: batch[c].to_numpy(zero_copy_only=False) for c in num_cols}
+    str_np = {c: batch[c].to_numpy(zero_copy_only=False) for c in str_cols}
+    for i in range(n):
+        fields[i] = _json.dumps(
+            {c: v[i] for c, v in num_np.items()
+             if v[i] == v[i] and v[i] is not None}, sort_keys=True)
+        tags[i] = _json.dumps(
+            {c: v[i] for c, v in str_np.items() if v[i] is not None},
+            sort_keys=True)
+    out = pa.table({"tags": pa.array(tags, pa.string()),
+                    "fields": pa.array(fields, pa.string())})
+    if "@timestamp" in batch.column_names:
+        ns = pc_cast_ns(batch["@timestamp"])
+        out = out.append_column("time_ns", ns)
+    return out
+
+
+def pc_cast_ns(arr):
+    import pyarrow.compute as pc
+    return pc.multiply(pc.cast(pc.cast(arr, pa.timestamp("us")),
+                               pa.int64()), 1000)
+
+
+class GeoPrefixEnricher:
+    """GeoIP-style enrichment — actor-pool stage holding a RANGE lookup
+    loaded once per actor (/root/reference/lib/plugins/output-filter/
+    geoip.js:20-53 with the MaxMind DB swapped for an ip-range table;
+    the DB files aren't available in this environment, so the bundled
+    table is a deterministic synthetic region map — the lookup dataflow,
+    numpy searchsorted over range starts, is the real thing)."""
+
+    REGIONS = ["na", "eu", "apac", "latam", "emea", "sa", "af", "oc"]
+
+    def __init__(self, ip_col: str = "client_ip"):
+        self.ip_col = ip_col
+        # range table: starts at every /5 of the v4 space
+        self.starts = np.arange(0, 1 << 32, (1 << 32) // 64, dtype=np.int64)
+        self.labels = np.array(
+            [self.REGIONS[i % len(self.REGIONS)] for i in range(64)],
+            dtype=object)
+
+    @staticmethod
+    def _ip_to_int(ip: str | None) -> int:
+        if not ip:
+            return -1
+        parts = ip.split(".")
+        if len(parts) != 4:
+            return -1
+        try:
+            return (int(parts[0]) << 24) | (int(parts[1]) << 16) | \
+                   (int(parts[2]) << 8) | int(parts[3])
+        except ValueError:
+            return -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ips = batch[self.ip_col].to_numpy(zero_copy_only=False)
+        vals = np.array([self._ip_to_int(ip) for ip in ips], dtype=np.int64)
+        idx = np.searchsorted(self.starts, vals, side="right") - 1
+        geo = np.where(vals >= 0, self.labels[np.clip(idx, 0, 63)], None)
+        return batch.append_column("geo_region",
+                                   pa.array(geo.tolist(), pa.string()))
+
+
 class DeviceDetector:
     """Actor-pool user-agent parser (regex set compiled once per actor —
     the DeviceDetector-instance analogue)."""

@@ -220,3 +220,14 @@ def make_parse_fn(pattern_paths: list[str] | None = None,
                            source_col=source_col, ts_col=ts_col)
 
     return _parse
+
+
+def make_global_transform_fn(fn):
+    """globalTransform rebuild (parser.js:491-504; config hook
+    patterns.yml:68-75): a named user UDF applied to every parsed batch
+    regardless of pattern — a trailing vectorized map_batches stage, a
+    registered Python callable instead of YAML-embedded JS."""
+    def _gt(batch: pa.Table) -> pa.Table:
+        out = fn(batch)
+        return out if out is not None else batch
+    return _gt

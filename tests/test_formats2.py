@@ -1,0 +1,85 @@
+"""vercel/aws-ecs/influx/geoip-style format stages + globalTransform +
+CRI pattern (SURVEY.md §2.1, §2.5, §2.7 coverage)."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_vercel_report():
+    from logagent_js_ray.stages.formats import vercel_format
+    t = pa.table({"message": [
+        "REPORT RequestId: x Duration: 12.3 ms\tBilled Duration: 13.0 ms"
+        "\tMemory Size: 128 MB\tMax Memory Used: 64 MB\tInit Duration: 2 ms",
+        "plain line",
+    ]})
+    out = vercel_format(t)
+    assert out["lambda_duration_ms"][0].as_py() == 12.3
+    assert out["lambda_memory_mb"][0].as_py() == 128.0
+    assert out["lambda_cold_start"][0].as_py() is True
+    assert np.isnan(out["lambda_duration_ms"][1].as_py())
+
+
+def test_aws_ecs_severity_from_stream():
+    from logagent_js_ray.stages.formats import aws_ecs_format
+    t = pa.table({"logSource": ["app/error-stream", "app/warnish", "app/ok"],
+                  "severity": [None, None, "info"]})
+    out = aws_ecs_format(t)
+    assert out["severity"].to_pylist() == ["error", "warning", "info"]
+
+
+def test_influx_projection():
+    from logagent_js_ray.stages.formats import influx_projection
+    t = pa.table({
+        "count": pa.array([1.5, None], pa.float64()),
+        "host": pa.array(["h1", "h2"], pa.string()),
+        "message": pa.array(["skip", "skip"], pa.string()),
+        "@timestamp": pa.array([dt.datetime(2025, 1, 1)] * 2,
+                               pa.timestamp("us")),
+    })
+    out = influx_projection(t)
+    assert out["fields"][0].as_py() == '{"count": 1.5}'
+    assert out["fields"][1].as_py() == "{}"  # null numeric dropped
+    assert out["tags"][0].as_py() == '{"host": "h1"}'
+    assert out["time_ns"][0].as_py() == 1735689600000000000
+
+
+def test_geo_prefix_enricher():
+    from logagent_js_ray.stages.formats import GeoPrefixEnricher
+    enr = GeoPrefixEnricher()
+    t = pa.table({"client_ip": ["1.2.3.4", "200.1.1.1", None, "junk"]})
+    out = enr(t)
+    vals = out["geo_region"].to_pylist()
+    assert vals[0] in enr.REGIONS and vals[1] in enr.REGIONS
+    assert vals[2] is None and vals[3] is None
+    # deterministic: same input -> same region
+    assert enr(t)["geo_region"].to_pylist() == vals
+
+
+def test_cri_pattern():
+    from logagent_js_ray.registry import load_registry
+    from logagent_js_ray.stages.parse import parse_batch
+    t = pa.table({
+        "conv_id": ["c"] * 2, "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["pod"] * 2,
+        "text": ["2025-01-02T03:04:05Z stdout F all good",
+                 "2025-01-02T03:04:06Z stderr F boom"],
+        "tool": ["none"] * 2,
+        "ts": pa.array([dt.datetime(2025, 1, 1)] * 2, pa.timestamp("us")),
+    })
+    out = parse_batch(t, load_registry())
+    assert out["_type"].to_pylist() == ["cri_containerd"] * 2
+    assert out["message"].to_pylist() == ["all good", "boom"]
+    assert out["severity"].to_pylist() == [None, "error"]
+    assert out["stream"].to_pylist() == ["stdout", "stderr"]
+    assert out["@timestamp"][0].as_py() == dt.datetime(2025, 1, 2, 3, 4, 5)
+
+
+def test_global_transform():
+    from logagent_js_ray.stages.parse import make_global_transform_fn
+    def add_flag(b: pa.Table) -> pa.Table:
+        return b.append_column("flagged", pa.array([True] * b.num_rows))
+    t = pa.table({"x": [1, 2]})
+    out = make_global_transform_fn(add_flag)(t)
+    assert out["flagged"].to_pylist() == [True, True]
