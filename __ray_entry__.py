@@ -25,9 +25,11 @@ from logagent_js_ray.pipelines import queries as q  # noqa: E402
 
 
 def entry() -> Any:
-    """Flagship pipeline on the sf0.001-scale transcript fixture."""
+    """Flagship pipeline on the sf0.001-scale transcript fixture (small
+    input -> small fixed actor pool; the CPU-sized pool is for real
+    corpora)."""
     from logagent_js_ray.pipelines.flagship import build_routed
-    routed = build_routed(ensure_transcripts("sf0.001"))
+    routed = build_routed(ensure_transcripts("sf0.001"), concurrency=4)
     return routed.sort(["conv_id", "turn_idx"])
 
 

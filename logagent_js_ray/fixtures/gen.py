@@ -58,7 +58,7 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
 # compute dominates Ray's fixed per-stage overheads (~5 s), which is the
 # regime the 8-vs-32-CPU efficiency criterion is meant to measure.
 SF_TURNS = {"sf0.001": 5_000, "sf0.01": 60_000, "sf0.1": 600_000,
-            "sfbench": 24_000_000}
+            "sfbench": 48_000_000}
 
 FIXTURE_ROOT = os.environ.get(
     "LJR_FIXTURE_ROOT", os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")

@@ -64,3 +64,11 @@ TRANSFORMS = {
 
 def get_transform(name: str):
     return TRANSFORMS[name]
+
+
+def register_transform(name: str, fn) -> None:
+    """User-extension hook (SURVEY.md §2.9): third-party pattern files
+    refer to transforms by NAME; registering a Python callable here is
+    the rebuild of logagent's npm-plugin / !!js/function surface, with
+    no code ever eval'd from config."""
+    TRANSFORMS[name] = fn
