@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GEN_VERSION = 2  # bump to invalidate cached fixture dirs
+GEN_VERSION = 3  # bump to invalidate cached fixture dirs
 BASE_EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 # conversation start times wrap within this window so the hourly-bucket
 # cube stays realistic (a log corpus has many events per hour, not ~40;
@@ -146,7 +146,8 @@ def _text_for(conv: int, turn: int, ts_us: int) -> str:
             f"task {c % 1000} finished")
 
 
-def generate_transcripts(total_turns: int, seed: int = SEED) -> pa.Table:
+def generate_transcripts(total_turns: int, seed: int = SEED,
+                         shuffle: bool = True) -> pa.Table:
     rng = np.random.default_rng(seed)
     # conversation sizes: one hot conversation takes ~5% of all turns,
     # the rest Zipf-ish in [2, 60]
@@ -183,6 +184,8 @@ def generate_transcripts(total_turns: int, seed: int = SEED) -> pa.Table:
         "tool": pa.array(tools, pa.string()),
         "ts": pa.array(tss, pa.timestamp("us")),
     })
+    if not shuffle:
+        return tbl
     perm = rng.permutation(tbl.num_rows)  # global shuffle: sort is load-bearing
     return tbl.take(pa.array(perm))
 
@@ -202,15 +205,21 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
             if f"v={GEN_VERSION}" in f.read():
                 return out_dir
     total = SF_TURNS[sf] if sf in SF_TURNS else int(sf)
-    tbl = generate_transcripts(total)
+    # generate UNshuffled, then shuffle per output file with chunked
+    # takes: a single full-table take concatenates >2 GB string columns
+    # and hits Arrow's 32-bit offset limit at large scales
+    tbl = generate_transcripts(total, shuffle=False)
     if num_files is None:
         num_files = min(64, max(4, total // 250_000 or 4, 8 if total > 10_000 else 4))
     os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    perm = rng.permutation(tbl.num_rows)
     step = -(-tbl.num_rows // num_files)
     for i in range(num_files):
-        chunk = tbl.slice(i * step, step)
-        if chunk.num_rows == 0:
+        idx = perm[i * step:(i + 1) * step]
+        if len(idx) == 0:
             break
+        chunk = tbl.take(pa.array(idx))
         pq.write_table(chunk, os.path.join(out_dir, f"part-{i:03d}.parquet"))
     with open(done, "w") as f:
         f.write(f"rows={tbl.num_rows} v={GEN_VERSION}\n")

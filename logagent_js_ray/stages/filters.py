@@ -27,7 +27,7 @@ _ANSI_RE = r"\x1b\[[0-9;]*[A-Za-z]"
 
 def make_prep_fn(text_col: str = "text", max_size: int = MAX_LOG_SIZE):
     def _prep(batch: pa.Table) -> pa.Table:
-        txt = pc.cast(batch[text_col], pa.string())
+        txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
         txt = pc.replace_substring_regex(txt, _ANSI_RE, "")
         txt = pc.utf8_slice_codeunits(txt, 0, max_size)
         i = batch.schema.get_field_index(text_col)
