@@ -209,6 +209,14 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
     # takes: a single full-table take concatenates >2 GB string columns
     # and hits Arrow's 32-bit offset limit at large scales
     tbl = generate_transcripts(total, shuffle=False)
+    # 64-bit offsets for the take(): 32-bit string columns >2GB overflow
+    # when take concatenates chunks; each written chunk is cast back to
+    # plain string (always <2GB per file)
+    orig_schema = tbl.schema
+    import pyarrow as _pa
+    for name in ("text", "conv_id", "role", "tool"):
+        i = tbl.schema.get_field_index(name)
+        tbl = tbl.set_column(i, name, tbl[name].cast(_pa.large_string()))
     if num_files is None:
         num_files = min(64, max(4, total // 250_000 or 4, 8 if total > 10_000 else 4))
     os.makedirs(out_dir, exist_ok=True)
@@ -219,7 +227,7 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
         idx = perm[i * step:(i + 1) * step]
         if len(idx) == 0:
             break
-        chunk = tbl.take(pa.array(idx))
+        chunk = tbl.take(pa.array(idx)).cast(orig_schema)
         pq.write_table(chunk, os.path.join(out_dir, f"part-{i:03d}.parquet"))
     with open(done, "w") as f:
         f.write(f"rows={tbl.num_rows} v={GEN_VERSION}\n")

@@ -55,7 +55,8 @@ def build_routed(input_path: str | list[str],
                  routes: list[tuple[str, str]] | None = None,
                  drop_unmatched: bool = False,
                  tool_catalog: str | None = None,
-                 concurrency=None, acc=None) -> "ray.data.Dataset":
+                 concurrency=None, acc=None,
+                 conv_buckets: int | None = None) -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
     One FUSED actor-pool operator carries every stage (state loaded once
@@ -83,6 +84,7 @@ def build_routed(input_path: str | list[str],
             "routes": routes or DEFAULT_ROUTES,
             "pattern_paths": pattern_paths,
             "drop_unmatched": drop_unmatched, "acc": acc,
+            "conv_buckets": conv_buckets,
         },
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or pool_size())
@@ -116,6 +118,8 @@ def marginals_from_cube(cube) -> dict:
 
 def run_flagship(input_path: str, out_dir: str | None = None,
                  write_concurrency: int | None = None,
+                 conv_buckets: int | None = None,
+                 sort_output: bool = False,
                  **kwargs) -> dict:
     """Consume the pipeline: fan out sinks to partitioned Parquet, then
     compute the aggregate cube from a COLUMN-PRUNED read-back of the
@@ -128,7 +132,13 @@ def run_flagship(input_path: str, out_dir: str | None = None,
     import time as _time
     _dbg = os.environ.get("GRAFT_TIMING") == "1"
     _t0 = _time.time()
-    routed = build_routed(input_path, **kwargs)
+    routed = build_routed(input_path, conv_buckets=conv_buckets, **kwargs)
+    if sort_output:
+        # north-rule stable ordering before the final write; a full
+        # range-partitioned sort — only ask for it when the sink layout
+        # must be globally ordered (per-turn equality checks read via
+        # sort() on the comparison side instead)
+        routed = routed.sort(["conv_id", "turn_idx"])
     if out_dir:
         # a rerun must not append to a previous run's sink files — the
         # aggregates would double-count (resumable runs go through
@@ -139,7 +149,8 @@ def run_flagship(input_path: str, out_dir: str | None = None,
         os.makedirs(out_dir, exist_ok=True)
         # on a lone local disk cap writers (~8/node measured best);
         # on tmpfs / distributed FS unlimited writers scale with CPUs
-        routed.write_parquet(out_dir, partition_cols=["sink"],
+        pcols = ["sink"] + (["conv_bucket"] if conv_buckets else [])
+        routed.write_parquet(out_dir, partition_cols=pcols,
                              concurrency=write_concurrency)
         if _dbg:
             print(f"[timing] write: {_time.time() - _t0:.1f}s", flush=True)

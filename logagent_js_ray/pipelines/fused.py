@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -84,12 +85,14 @@ class FlagshipStage:
     def __init__(self, lookup_ref, mask_cfg: MaskConfig | None,
                  routes: list[tuple[str, str]], pattern_paths=None,
                  drop_unmatched: bool = False, acc=None,
-                 detect_severity: bool = False):
+                 detect_severity: bool = False,
+                 conv_buckets: int | None = None):
         # each actor owns ONE cpu; Arrow's default per-process thread
         # pool is sized to the MACHINE, so a 30-actor pool spawns ~30x32
         # kernel threads that thrash each other. Pin to 1.
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+        self.conv_buckets = conv_buckets
         self.prep = make_prep_fn()
         self.registry = load_registry(
             list(pattern_paths) if pattern_paths else None)
@@ -107,6 +110,16 @@ class FlagshipStage:
             b = mask_batch(b, self.mask_cfg)
         b = self.enricher(b)
         b = route_batch(b, self.route_cfg)
+        if self.conv_buckets:
+            # hash-routing key of the north rule: hash(conv_id) % B as a
+            # partition column co-locates a conversation's rows within
+            # each sink (one directory per bucket; resume/order-read at
+            # bucket granularity)
+            convs = b["conv_id"].to_numpy(zero_copy_only=False)
+            bk = np.fromiter(
+                (zlib.crc32(c.encode()) % self.conv_buckets for c in convs),
+                dtype=np.int32, count=len(convs))
+            b = b.append_column("conv_bucket", pa.array(bk))
         if self.acc is not None and b.num_rows:
             wb = add_time_bucket(b)
             pdf = wb.select(CUBE_KEYS + ["size"]).to_pandas()
