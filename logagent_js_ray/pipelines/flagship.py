@@ -56,7 +56,8 @@ def build_routed(input_path: str | list[str],
                  drop_unmatched: bool = False,
                  tool_catalog: str | None = None,
                  concurrency=None, acc=None,
-                 conv_buckets: int | None = None) -> "ray.data.Dataset":
+                 conv_buckets: int | None = None,
+                 emit: str = "rows") -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
     One FUSED actor-pool operator carries every stage (state loaded once
@@ -84,7 +85,7 @@ def build_routed(input_path: str | list[str],
             "routes": routes or DEFAULT_ROUTES,
             "pattern_paths": pattern_paths,
             "drop_unmatched": drop_unmatched, "acc": acc,
-            "conv_buckets": conv_buckets,
+            "conv_buckets": conv_buckets, "emit": emit,
         },
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or pool_size())
@@ -132,14 +133,15 @@ def run_flagship(input_path: str, out_dir: str | None = None,
     import time as _time
     _dbg = os.environ.get("GRAFT_TIMING") == "1"
     _t0 = _time.time()
-    routed = build_routed(input_path, conv_buckets=conv_buckets, **kwargs)
-    if sort_output:
-        # north-rule stable ordering before the final write; a full
-        # range-partitioned sort — only ask for it when the sink layout
-        # must be globally ordered (per-turn equality checks read via
-        # sort() on the comparison side instead)
-        routed = routed.sort(["conv_id", "turn_idx"])
     if out_dir:
+        routed = build_routed(input_path, conv_buckets=conv_buckets,
+                              **kwargs)
+        if sort_output:
+            # north-rule stable ordering before the final write; a full
+            # range-partitioned sort — only ask for it when the sink
+            # layout must be globally ordered (equality checks sort on
+            # the comparison side instead)
+            routed = routed.sort(["conv_id", "turn_idx"])
         # a rerun must not append to a previous run's sink files — the
         # aggregates would double-count (resumable runs go through
         # state/manifest.run_checkpointed, which is atomic per-partition
@@ -162,7 +164,15 @@ def run_flagship(input_path: str, out_dir: str | None = None,
                              batch_size=None),
             ["sink", "role", "tool", "time_bucket"], sum_cols=["size"])
     else:
-        cube = aggregate_cube(routed)
+        # aggregate-only consumption: the fused stage emits per-block
+        # partial cubes directly (emit="cube"), so no row data crosses
+        # the object store — only key-bounded partials reach the merge;
+        # every stage still runs per row
+        from ..stages.aggregate import tree_merge
+        partials = build_routed(input_path, conv_buckets=conv_buckets,
+                                emit="cube", **kwargs)
+        cube = tree_merge(partials, ["sink", "role", "tool", "time_bucket"],
+                          {"n": "sum", "sum_size": "sum"})
     cube_df = cube.to_pandas()
     if _dbg:
         print(f"[timing] cube: {_time.time() - _t0:.1f}s", flush=True)

@@ -86,7 +86,13 @@ class FlagshipStage:
                  routes: list[tuple[str, str]], pattern_paths=None,
                  drop_unmatched: bool = False, acc=None,
                  detect_severity: bool = False,
-                 conv_buckets: int | None = None):
+                 conv_buckets: int | None = None,
+                 emit: str = "rows"):
+        # emit="cube": the stage OUTPUTS per-batch partial cubes instead
+        # of parsed rows — the aggregate-only pipeline then never ships
+        # row data through the object store (tens of GB at 48M turns);
+        # every stage still executes per row.
+        self.emit = emit
         # each actor owns ONE cpu; Arrow's default per-process thread
         # pool is sized to the MACHINE, so a 30-actor pool spawns ~30x32
         # kernel threads that thrash each other. Pin to 1.
@@ -134,6 +140,14 @@ class FlagshipStage:
             # per 16k-row batch; at larger scale shard accumulators by
             # key hash to keep the actor off the critical path.
             ray.get(self.acc.add.remote(_batch_key(batch), part))
+        if self.emit == "cube":
+            import pyarrow.compute as pc
+            wb = add_time_bucket(b)
+            g = wb.select(CUBE_KEYS + ["size"]).group_by(CUBE_KEYS) \
+                .aggregate([([], "count_all"), ("size", "sum")])
+            return g.rename_columns(
+                [{"count_all": "n", "size_sum": "sum_size"}.get(c, c)
+                 for c in g.column_names])
         return b
 
 
