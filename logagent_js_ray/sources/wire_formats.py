@@ -1,0 +1,208 @@
+"""Wire-format normalizers — the FORMAT logic of logagent-js's HTTP
+receiver inputs (SURVEY.md §2.2), re-expressed as batch stages. The
+live servers themselves are out of scope (no network services in a batch
+engine); what carries over is how each payload becomes parsed events.
+
+  * influx_line_parse —
+    /root/reference/lib/plugins/input/influxHttp.js:137-186 parses
+    InfluxDB line protocol (``measurement[,tag=v...] field=v[,...] [ts]``)
+    into objects: ``measurement``, ns ``timestamp`` -> ``@timestamp``,
+    fields flattened under ``{measurement}_{key}`` (js:153-159), tags
+    into a nested dict (js:160-167). Unparseable lines are skipped
+    (js:179-183). DEVIATION: missing timestamps yield NULL rather than
+    "now" (js:145-147) — this repo derives all time from input so reruns
+    are deterministic (SURVEY.md §7.5).
+  * es_bulk_parse —
+    /root/reference/lib/plugins/input/elasticsearchHttp.js:35-42,158-198
+    parses an ES ``_bulk`` body (action line + source line pairs): only
+    the ``index`` action is supported, ``_index``/``_type`` fall back to
+    the request path's defaults (createIndexCall, js:35-42), other
+    commands are skipped with a log. One input row = one request body;
+    output is the exploded stream of source documents.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+# measurement ⟶ first comma/space (escapes: '\,', '\ ', '\=')
+_UNESCAPE = re.compile(r"\\([,= ])")
+
+
+def _split_escaped(s: str, sep: str) -> list[str]:
+    """Split on unescaped ``sep``; backslash escapes and double-quoted
+    spans (string field values) protect the separator."""
+    out, cur, i, in_quotes = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(c)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_quotes = not in_quotes
+            cur.append(c)
+        elif c == sep and not in_quotes:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE.sub(r"\1", s)
+
+
+def _field_value(raw: str):
+    """Line-protocol field literal: "str", 123i, 1.5, t/f/true/false."""
+    if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
+        return raw[1:-1].replace('\\"', '"')
+    if raw.endswith("i"):
+        try:
+            return int(raw[:-1])
+        except ValueError:
+            pass
+    low = raw.lower()
+    if low in ("t", "true"):
+        return True
+    if low in ("f", "false"):
+        return False
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def parse_influx_line(line: str) -> dict | None:
+    """One line -> {measurement, tags: dict, fields: dict, timestamp}."""
+    if not line or line.startswith("#"):
+        return None
+    parts = _split_escaped(line.strip(), " ")
+    parts = [p for p in parts if p != ""]
+    if len(parts) < 2:
+        return None
+    head = _split_escaped(parts[0], ",")
+    measurement = _unescape(head[0])
+    if not measurement:
+        return None
+    tags = {}
+    for t in head[1:]:
+        kv = _split_escaped(t, "=")
+        if len(kv) == 2:
+            tags[_unescape(kv[0])] = _unescape(kv[1])
+    fields = {}
+    for f in _split_escaped(parts[1], ","):
+        kv = _split_escaped(f, "=")
+        if len(kv) == 2:
+            fields[_unescape(kv[0])] = _field_value(kv[1])
+    if not fields:
+        return None
+    ts = None
+    if len(parts) >= 3:
+        try:
+            ts = int(parts[2])
+        except ValueError:
+            ts = None
+    return {"measurement": measurement, "tags": tags, "fields": fields,
+            "timestamp": ts}
+
+
+def influx_line_parse(batch: pa.Table, line_col: str = "text",
+                      db: str | None = None) -> pa.Table:
+    """Batch form of InputInfluxHttp.parse: appends measurement,
+    timestamp (raw ns), @timestamp (µs), tags_json, fields_json (keys
+    prefixed ``{measurement}_`` per js:156) to the passthrough columns;
+    unparseable rows keep nulls (the reference logs + skips — here the
+    null measurement marks them, filterable downstream)."""
+    lines = batch[line_col].to_numpy(zero_copy_only=False)
+    n = len(lines)
+    meas = [None] * n
+    raw_ts = [None] * n
+    at_ts = [None] * n
+    tags_json = [None] * n
+    fields_json = [None] * n
+    for i, line in enumerate(lines):
+        try:
+            ir = parse_influx_line(line)
+        except Exception:
+            ir = None  # js:179-183 error path: skip the line
+        if not ir:
+            continue
+        meas[i] = ir["measurement"]
+        if ir["timestamp"] is not None:
+            raw_ts[i] = ir["timestamp"]
+            at_ts[i] = ir["timestamp"] // 1000  # ns -> µs (js:145-147)
+        tags_json[i] = json.dumps(ir["tags"], sort_keys=True,
+                                  separators=(",", ":"))
+        fields_json[i] = json.dumps(
+            {f"{ir['measurement']}_{k}": v for k, v in ir["fields"].items()},
+            sort_keys=True, separators=(",", ":"))
+    out = batch.append_column("measurement", pa.array(meas, pa.string()))
+    out = out.append_column("timestamp", pa.array(raw_ts, pa.int64()))
+    out = out.append_column("@timestamp",
+                            pa.array(at_ts, pa.timestamp("us")))
+    out = out.append_column("tags_json", pa.array(tags_json, pa.string()))
+    out = out.append_column("fields_json",
+                            pa.array(fields_json, pa.string()))
+    if db is not None:
+        out = out.append_column(
+            "influxDbName", pa.array([db] * n, pa.string()))
+    return out
+
+
+def es_bulk_parse(batch: pa.Table, body_col: str = "body",
+                  default_index: str | None = None,
+                  default_type: str | None = None,
+                  passthrough: tuple = ()) -> pa.Table:
+    """Explode ES ``_bulk`` bodies into their source documents.
+    Mirrors elasticsearchHttp.js:158-198: pairs of (action, source)
+    lines; ``index`` is the only supported action; `_index`/`_type`
+    default from the request path; `_id` only set when given."""
+    bodies = batch[body_col].to_numpy(zero_copy_only=False)
+    pass_np = {c: batch[c].to_numpy(zero_copy_only=False)
+               for c in passthrough}
+    out_idx, out_type, out_id, out_src = [], [], [], []
+    out_pass: dict = {c: [] for c in passthrough}
+    for r, body in enumerate(bodies):
+        if not body:
+            continue
+        lines = body.split("\n")
+        off = 0
+        while off < len(lines):
+            try:
+                action = json.loads(lines[off])
+            except ValueError:
+                off += 1
+                continue
+            if not isinstance(action, dict) or "index" not in action:
+                off += 1  # "Command not supported yet" (js:194-196)
+                continue
+            if off + 1 >= len(lines):
+                break
+            try:
+                source = json.loads(lines[off + 1])
+            except ValueError:
+                off += 2
+                continue
+            off += 2
+            act = action["index"] or {}
+            out_idx.append(act.get("_index") or default_index)
+            out_type.append(act.get("_type") or default_type)
+            out_id.append(act.get("_id"))
+            out_src.append(json.dumps(source, sort_keys=True,
+                                      separators=(",", ":")))
+            for c in passthrough:
+                out_pass[c].append(pass_np[c][r])
+    cols = {c: pa.array(list(v)) for c, v in out_pass.items()}
+    cols["_index"] = pa.array(out_idx, pa.string())
+    cols["_type"] = pa.array(out_type, pa.string())
+    cols["_id"] = pa.array(out_id, pa.string())
+    cols["source_json"] = pa.array(out_src, pa.string())
+    return pa.table(cols)
