@@ -153,3 +153,148 @@ def topk_cosine_lsh(ds: "ray.data.Dataset", query_vecs: np.ndarray,
             key=lambda r: (-r.cosine, getattr(r, id_col)))
         out.extend(rows)
     return pd.DataFrame(out).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------
+# IVF-Flat: k-means coarse quantizer + inverted lists
+
+
+def train_ivf_centroids(ds: "ray.data.Dataset", n_lists: int = 16,
+                        sample_size: int = 4096, n_iters: int = 10,
+                        seed: int = 7,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic Lloyd's k-means over a bounded sample (first
+    ``sample_size`` rows — only the sample is materialized, never the
+    corpus). Returns L2-normalized (n_lists, dim) centroids; cosine
+    assignment = argmax dot product against them."""
+    sample = ds.limit(sample_size).select_columns([vec_col]).take_all()
+    x = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
+    n_lists = min(n_lists, len(x))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), n_lists, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IVFScorer:
+    """Scale path #2: scan only rows whose nearest-centroid list is one
+    of the query's ``nprobe`` closest lists. Centroids are broadcast
+    once (ray.put) and resolved per actor; per batch = one assignment
+    matmul + masked scoring (classic IVF-Flat, trained quantizer vs
+    LSHIndexScorer's data-independent hyperplanes)."""
+
+    def __init__(self, query_ref, centroids_ref, k: int, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
+            else query_ref
+        cents = ray.get(centroids_ref) if not isinstance(
+            centroids_ref, np.ndarray) else centroids_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float64)))
+        self.cents = np.asarray(cents, np.float64)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        nprobe = min(nprobe, len(self.cents))
+        qsims = self.q @ self.cents.T  # (n_queries, n_lists)
+        self.probes = [set(np.argsort(-row)[:nprobe].tolist())
+                       for row in qsims]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(np.stack(
+            batch[self.vec_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64))
+        lists = np.argmax(vecs @ self.cents.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(lists, list(self.probes[qi]))
+            if not mask.any():
+                continue
+            col = vecs[mask] @ self.q[qi]
+            sel = ids[mask]
+            k = min(self.k, len(sel))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(sel[top])
+            out_sim.extend(col[top])
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         self.id_col: pa.array(out_id),
+                         "cosine": pa.array(out_sim, pa.float64())})
+
+
+def topk_cosine_ivf(ds: "ray.data.Dataset", query_vecs: np.ndarray,
+                    k: int = 10, n_lists: int = 16, nprobe: int = 4,
+                    centroids: np.ndarray | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    concurrency=(2, 8)) -> pd.DataFrame:
+    """IVF-Flat ANN without a prebuilt index: assign + probe-filter at
+    scan time. Same partial-top-k merge shape as topk_cosine."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_lists=n_lists,
+                                        vec_col=vec_col)
+    q_ref = ray.put(np.asarray(query_vecs, np.float64))
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+    partials = ds.map_batches(
+        IVFScorer,
+        fn_constructor_kwargs={"query_ref": q_ref, "centroids_ref": c_ref,
+                               "k": k, "nprobe": nprobe, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_idx"):
+        rows = heapq.nsmallest(
+            k, g.itertuples(index=False),
+            key=lambda r: (-r.cosine, getattr(r, id_col)))
+        out.extend(rows)
+    return pd.DataFrame(out).reset_index(drop=True)
+
+
+def build_ivf_index(ds: "ray.data.Dataset", centroids: np.ndarray,
+                    out_dir: str, vec_col: str = "embedding") -> str:
+    """Materialize the inverted lists as hive-partitioned parquet
+    (``ivf_list=<j>/``). At 100 TB this is the index-build job: one pass,
+    one shuffle-free partitioned write; queries then READ ONLY the
+    probed partitions (partition pruning at the read, not a scan)."""
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        vecs = _normalize(np.stack(
+            batch[vec_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64))
+        lists = np.argmax(vecs @ cents.T, axis=1)
+        return batch.append_column("ivf_list",
+                                   pa.array(lists, pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ivf_list"])
+    return out_dir
+
+
+def topk_cosine_ivf_index(index_dir: str, query_vecs: np.ndarray,
+                          centroids: np.ndarray, k: int = 10,
+                          nprobe: int = 4, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          concurrency=(2, 8)) -> pd.DataFrame:
+    """Query a prebuilt IVF index: compute the probe lists on the
+    driver, read ONLY those partitions, brute-force within them."""
+    import pyarrow.dataset as pads
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, np.float64)))
+    cents = np.asarray(centroids, np.float64)
+    nprobe = min(nprobe, len(cents))
+    probe = set()
+    for row in q @ cents.T:
+        probe.update(np.argsort(-row)[:nprobe].tolist())
+    frag_paths = [f for f in pads.dataset(
+        index_dir, partitioning="hive").files
+        if any(f"ivf_list={j}/" in f for j in probe)]
+    ds = ray.data.read_parquet(frag_paths, columns=[id_col, vec_col])
+    return topk_cosine(ds, query_vecs, k=k, id_col=id_col, vec_col=vec_col,
+                       concurrency=concurrency)

@@ -142,3 +142,29 @@ def test_multimodal_plumbing(ray_session):
                             concurrency=2).to_pandas()
     assert set(frames["frame_idx"]) == {0, 10, 20, 30}
     assert len(frames) == 4 * 10  # 10 videos in 30 rows
+
+
+def test_topk_ivf_scan_and_index(ray_session, tmp_path):
+    import ray.data
+    from logagent_js_ray.ops.similarity import (build_ivf_index,
+                                                topk_cosine,
+                                                topk_cosine_ivf,
+                                                topk_cosine_ivf_index,
+                                                train_ivf_centroids)
+    tbl = embed_table(n=120)
+    vecs = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False))
+    ds = ray.data.from_arrow(tbl)
+    cents = train_ivf_centroids(ds, n_lists=8, sample_size=120)
+    assert cents.shape == (8, 16)
+    # scan-time IVF: self + planted near-dup always land in probed lists
+    got = topk_cosine_ivf(ds, vecs[3], k=5, centroids=cents, nprobe=3)
+    assert 3 in set(got["vec_id"])
+    assert 7 in set(got["vec_id"])
+    # full-probe IVF == brute force exactly (every list scanned)
+    full = topk_cosine_ivf(ds, vecs[3], k=5, centroids=cents, nprobe=8)
+    brute = topk_cosine(ds, vecs[3], k=5)
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    # prebuilt partitioned index: reads only the probed partitions
+    idx = build_ivf_index(ds, cents, str(tmp_path / "ivf"))
+    got2 = topk_cosine_ivf_index(idx, vecs[3], cents, k=5, nprobe=3)
+    assert 3 in set(got2["vec_id"]) and 7 in set(got2["vec_id"])
