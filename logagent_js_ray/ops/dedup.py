@@ -175,13 +175,17 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                               "est_jaccard": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
             return empty
-        # segment the coarse group into exact band_hash sub-buckets
-        g = g.sort_values(["band_hash", id_col])
+        # segment the coarse group into exact (band, band_hash) buckets —
+        # the group key is coarse ONLY (fewer groups = less per-group
+        # Python dispatch), so both columns segment here
+        g = g.sort_values(["band", "band_hash", id_col])
         bh = g["band_hash"].to_numpy()
+        bd = g["band"].to_numpy()
         ids = g[id_col].to_numpy()
         sigs = np.stack([np.asarray(s, dtype=np.uint64)
                          for s in g["minhash"]])
-        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        starts = np.flatnonzero(np.r_[True, (bh[1:] != bh[:-1]) |
+                                      (bd[1:] != bd[:-1])])
         ends = np.r_[starts[1:], len(bh)]
         out_a, out_b, out_e = [], [], []
         for s, e in zip(starts, ends):
@@ -199,7 +203,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                              "id_b": np.concatenate(out_b),
                              "est_jaccard": np.concatenate(out_e)})
 
-    pairs = banded.groupby(["band", "coarse"]).map_groups(
+    pairs = banded.groupby("coarse").map_groups(
         coarse_pairs, batch_format="pandas")
     # dedup pairs found in multiple bands (tree merge over tiny pair set)
     return tree_merge(pairs, ["id_a", "id_b"], {"est_jaccard": "min"})
@@ -234,7 +238,7 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     hamming distance inside each bucket."""
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
 
-    coarse = 256
+    coarse = 64
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -256,11 +260,14 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                               "hamming": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
             return empty
-        g = g.sort_values(["band_key", id_col])
+        # group key is coarse ONLY; (band, band_key) segment here
+        g = g.sort_values(["band", "band_key", id_col])
         bk = g["band_key"].to_numpy()
+        bd = g["band"].to_numpy()
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        starts = np.flatnonzero(np.r_[True, (bk[1:] != bk[:-1]) |
+                                      (bd[1:] != bd[:-1])])
         ends = np.r_[starts[1:], len(bk)]
         out_a, out_b, out_h = [], [], []
         for s, e in zip(starts, ends):
@@ -280,7 +287,7 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                              "hamming": np.concatenate(out_h)})
 
     pairs = (hashed.map_batches(explode, batch_format="pyarrow")
-             .groupby(["band", "coarse"])
+             .groupby("coarse")
              .map_groups(coarse_pairs, batch_format="pandas"))
     return tree_merge(pairs, ["id_a", "id_b"], {"hamming": "min"})
 
@@ -323,6 +330,9 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
             else pa.concat_arrays([b[vec_col]] * n_tables),
             "lsh_table": pa.array(tbl_idx),
             "lsh_bucket": pa.array(keys),
+            "coarse": pa.array(
+                ((keys + tbl_idx.astype(np.int64) * np.int64(0x9E3779B9))
+                 % 64).astype(np.int32)),
         })
         return rep
 
@@ -332,22 +342,37 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
                               "cosine": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
             return empty
+        # group key is coarse ONLY; (lsh_table, lsh_bucket) segment here
+        g = g.sort_values(["lsh_table", "lsh_bucket", id_col])
+        tb = g["lsh_table"].to_numpy()
+        bkt = g["lsh_bucket"].to_numpy()
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        vecs = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        sims = (vecs / norms) @ (vecs / norms).T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sims[ai, bi] >= threshold
-        if not keep.any():
+        nv = vecs / norms
+        starts = np.flatnonzero(np.r_[True, (bkt[1:] != bkt[:-1]) |
+                                      (tb[1:] != tb[:-1])])
+        ends = np.r_[starts[1:], len(ids)]
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = nv[s:e] @ nv[s:e].T
+            ai, bi = np.triu_indices(e - s, k=1)
+            keep = sims[ai, bi] >= threshold
+            if keep.any():
+                out_a.append(ids[s:e][ai[keep]])
+                out_b.append(ids[s:e][bi[keep]])
+                out_c.append(sims[ai, bi][keep])
+        if not out_a:
             return empty
-        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep],
-                             "cosine": sims[ai, bi][keep]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
     pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
-             .groupby(["lsh_table", "lsh_bucket"])
+             .groupby("coarse")
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several tables: dedup via tree merge
     return tree_merge(pairs, ["id_a", "id_b"], {"cosine": "min"})
