@@ -55,10 +55,48 @@ def cri_line(cols: dict[str, pa.Array]) -> None:
         pa.scalar("error", pa.string()), pa.scalar(None, pa.string()))
 
 
+def tail_message(cols: dict[str, pa.Array]) -> None:
+    """message = the captured free-text tail (patterns whose reference
+    field list ends in ``message``)."""
+    cols["message"] = cols.pop("msg_text")
+
+
+def redis_line(cols: dict[str, pa.Array]) -> None:
+    """Redis log decode (/root/reference/patterns.yml:476-504): role
+    letter -> role name (as ``redis_role`` — ``role`` is the transcript
+    source column), level symbol -> severity; level is consumed."""
+    role_in = cols["redis_role"]
+    role = pa.scalar(None, pa.string())
+    for letter, name in (("X", "sentinel"), ("C", "RDB/AOF writing child"),
+                         ("S", "slave"), ("M", "master")):
+        role = pc.if_else(pc.equal(role_in, letter),
+                          pa.scalar(name, pa.string()), role)
+    cols["redis_role"] = role
+    level = cols.pop("level")
+    sev = pc.cast(level, pa.string())
+    for sym, name in ((".", "debug"), ("-", "verbose"),
+                      ("*", "notice"), ("#", "warning")):
+        sev = pc.if_else(pc.equal(level, sym),
+                         pa.scalar(name, pa.string()), sev)
+    cols["severity"] = sev
+    cols["message"] = cols.pop("msg_text")
+
+
+def couchdb_host(cols: dict[str, pa.Array]) -> None:
+    """os.host from the node field, flattened to ``os_host``
+    (/root/reference/patterns.yml:870-873)."""
+    cols["os_host"] = cols["node"]
+    if "msg_text" in cols:
+        cols["message"] = cols.pop("msg_text")
+
+
 TRANSFORMS = {
     "access_log": access_log,
     "syslog_pri": syslog_pri,
     "cri_line": cri_line,
+    "tail_message": tail_message,
+    "redis_line": redis_line,
+    "couchdb_host": couchdb_host,
 }
 
 

@@ -30,6 +30,15 @@ import yaml
 
 DEFAULT_PATTERNS = os.path.join(os.path.dirname(__file__), "patterns.yml")
 
+# The broad source library (30 source groups of the reference
+# patterns.yml re-expressed with named groups) ships as a SEPARATE file:
+# the default registry stays lean for the transcript payload (smaller
+# union schema = cheaper sink writes), and users opt in per pipeline via
+# ``make_parse_fn(pattern_paths=[LIBRARY_PATTERNS])`` — the analogue of
+# logagent's extra `--patternFiles` (merged before defaults).
+LIBRARY_PATTERNS = os.path.join(os.path.dirname(__file__),
+                                "patterns_library.yml")
+
 # Common-schema columns added by the parse stage to every row
 # (SURVEY.md §1.4; fallback record parser.js:559-564).
 COMMON_FIELDS: list[tuple[str, pa.DataType]] = [
@@ -119,16 +128,22 @@ class PatternRegistry:
         """Union of every pattern's extracted fields (minus consumed ts
         fields, deleted after date parse per parser.js:322-332), plus the
         JSON-promoted fields — the fixed nullable output schema."""
+        common = {n for n, _ in COMMON_FIELDS}
         out: dict[str, pa.DataType] = {}
         for e in self.all_entries():
             for name in e.fields:
                 if name == e.datefield:
                     continue  # raw ts field is deleted after parsing
+                if name in common:
+                    continue  # severity/message captures merge into the
+                    # common columns, not duplicate ones
                 t = e.types.get(name)
                 out[name] = pa.float64() if t == "number" else pa.string()
-            # transforms may add derived numeric fields
+            # transforms may add derived fields
             if e.transform == "syslog_pri":
                 out["facility"] = pa.float64()
+            elif e.transform == "couchdb_host":
+                out["os_host"] = pa.string()
         for name, t in JSON_PROMOTED.items():
             out.setdefault(name, t)
         return out

@@ -50,13 +50,40 @@ def _strptime(arr: pa.Array, fmt: str) -> pa.Array:
 
 def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
     """ts capture string -> timestamp[us]; unparseable -> null (caller
-    coalesces to the row ts). Formats: 'iso' and 'clf' (+0000 assumed —
-    the reference normalizes zones via date-fns, parser.js:236-263)."""
+    coalesces to the row ts — the deterministic stand-in for the
+    reference's invalid->now, parser.js:260). Formats cover the
+    dateFormats the reference's pattern library uses
+    (/root/reference/patterns.yml:1150-1176):
+
+      clf        dd/Mon/yyyy:HH:mm:ss +0000     (web access logs)
+      java       yyyy-MM-dd HH:mm:ss[,SSS|.SSS][+ZZZZ]  (JVM loggers)
+      slash      yyyy/MM/dd HH:mm:ss            (nginx error, nsq)
+      dotted     yyyy.MM.dd HH:mm:ss.SSS        (clickhouse)
+      apache_err Day Mon dd HH:mm:ss yyyy       (apache error log)
+      none       no deterministic parse (year-less formats like redis's
+                 'dd MMM HH:mm:ss' — always falls back to the row ts)
+      iso        default; trailing Z / frac / ±ZZZZ offsets trimmed
+    """
     if dateformat == "clf":
         s = pc.replace_substring_regex(ts_str, r" [+-]\d{4}$", "")
         return _strptime(s, _STRPTIME_CLF)
-    # iso: accept trailing Z / fractional seconds by trimming them
-    s = pc.replace_substring_regex(ts_str, r"(\.\d+)?Z?$", "")
+    if dateformat == "java":
+        s = pc.replace_substring_regex(
+            ts_str, r"[,.]\d+([+-]\d{2}:?\d{2}|Z)?$", "")
+        return _strptime(s, "%Y-%m-%d %H:%M:%S")
+    if dateformat == "slash":
+        return _strptime(ts_str, "%Y/%m/%d %H:%M:%S")
+    if dateformat == "dotted":
+        s = pc.replace_substring_regex(ts_str, r"\.\d+$", "")
+        return _strptime(s, "%Y.%m.%d %H:%M:%S")
+    if dateformat == "apache_err":
+        s = pc.replace_substring_regex(ts_str, r"\.\d+", "")
+        return _strptime(s, "%a %b %d %H:%M:%S %Y")
+    if dateformat == "none":
+        return pa.nulls(len(ts_str), pa.timestamp("us"))
+    # iso: accept trailing Z / fractional seconds / numeric offsets
+    s = pc.replace_substring_regex(ts_str,
+                                   r"(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$", "")
     return _strptime(s, _STRPTIME_ISO)
 
 

@@ -1,0 +1,222 @@
+"""Broad source library (patterns_library.yml) — one representative
+line per reference source group (/root/reference/patterns.yml:84-1176),
+parsed via the real parse stage with the library merged before the
+defaults (mergePatternFiles.js:48 order)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from logagent_js_ray.registry import LIBRARY_PATTERNS, load_registry
+from logagent_js_ray.stages.parse import parse_batch
+
+ROW_TS = dt.datetime(2030, 6, 1, 12, 0, 0)
+
+
+def parse_one(source: str, line: str) -> dict:
+    reg = load_registry([LIBRARY_PATTERNS])
+    t = pa.table({
+        "text": pa.array([line], pa.string()),
+        "role": pa.array([source], pa.string()),
+        "ts": pa.array([ROW_TS], pa.timestamp("us")),
+    })
+    out = parse_batch(t, reg)
+    assert out.num_rows == 1
+    return {k: v[0] for k, v in out.to_pydict().items()}
+
+
+CASES = [
+    # (source, line, type, expectations)
+    ("sematext/agent",
+     'time=2024-01-05T10:00:00Z level=info msg="started agent" source="a.go"',
+     "sematext_agent_golang",
+     {"severity": "info", "message": "started agent"}),
+    ("swarm",
+     'time="2024-01-05T10:00:00Z" level=warning msg="node joined"',
+     "docker", {"severity": "warning", "message": "node joined"}),
+    ("clickhouse",
+     "2024.01.05 10:00:00.123456 [ 42 ] {q-1} <Debug> executeQuery: Read",
+     "clickhouse",
+     {"severity": "Debug", "thread_number": 42.0, "query_id": "q-1",
+      "module": "executeQuery"}),
+    ("elasticsearch",
+     "[2024-01-05T10:00:00,123][INFO ][o.e.n.Node] [node-1] started",
+     "elasticsearch",
+     {"severity": "INFO", "class_name": "o.e.n.Node",
+      "node_name": "node-1", "message": "started"}),
+    ("solr",
+     "2024-01-05 10:00:00.123 INFO  (qtp1-12) [collection1] "
+     "o.a.s.c.S.Request [shard1]  webapp=/solr path=/select "
+     "params={q=*:*} hits=42 status=0 QTime=3",
+     "apache_solr_7_8_hits",
+     {"hits": 42.0, "status": 0.0, "qtime": 3.0, "path": "/select"}),
+    ("kafka",
+     "[2024-01-05 10:00:00,123] INFO [Controller id=1] processing",
+     "apache_kafka",
+     {"severity": "INFO", "message": "[Controller id=1] processing"}),
+    ("hdfs",
+     "2024-01-05 10:00:00,123 INFO org.apache.hadoop.hdfs.DataNode: recv",
+     "apache_hadoop",
+     {"severity": "INFO", "class_name": "org.apache.hadoop.hdfs.DataNode:"
+      .rstrip(":"), "message": "recv"}),
+    ("hbase",
+     "2024-01-05 10:00:00,123 INFO [RS:0;h:16020] "
+     "o.a.h.hbase.HRegionServer: started",
+     "apache_hbase_region_server",
+     {"thread": "RS:0;h:16020", "message": "started"}),
+    ("zookeeper",
+     "2024-01-05 10:00:00,123 [myid:1] - INFO [main:QuorumPeer@123] - "
+     "Starting quorum peer",
+     "apache_zookeeper",
+     {"severity": "INFO", "machine_id": "myid:1",
+      "message": "Starting quorum peer"}),
+    ("cassandra",
+     "INFO  [main] 2024-01-05 10:00:00,123 CassandraDaemon.java:507 - "
+     "Hostname: node1",
+     "apache_cassandra",
+     {"module": "main", "java_file": "CassandraDaemon.java",
+      "code_line": 507.0, "message": "Hostname: node1"}),
+    ("mongo",
+     "2015-07-28T00:35:46.329+0000 I JOURNAL  [initandlisten] journal dir",
+     "mongodb",
+     {"severity": "I", "component": "JOURNAL", "context": "initandlisten",
+      "message": "journal dir"}),
+    ("redis",
+     "1:M 22 Jul 21:58:28.146 # Server started, Redis version 3.0.2",
+     "redis",
+     {"pid": 1.0, "redis_role": "master", "severity": "warning",
+      "message": "Server started, Redis version 3.0.2"}),
+    ("nexus",
+     "2024-01-05 10:00:00,123+0000 INFO  [qtp-1] *SYSTEM "
+     "org.sonatype.nexus.BootstrapListener - Begin",
+     "nexus",
+     {"severity": "INFO", "thread": "qtp-1", "nexus_user": "*SYSTEM"}),
+    ("nodebb",
+     "2024-01-05T10:00:00.123Z - info: [plugins] loaded",
+     "nodebb_forum",
+     {"severity": "info", "module": "plugins", "message": "loaded"}),
+    ("mysql",
+     "2015-07-25 14:11:35 0 [Note] mysqld starting as process 1",
+     "mysql",
+     {"pid": 0.0, "level": "Note",
+      "message": "mysqld starting as process 1"}),
+    ("nsqio/nsq",
+     "2024/01/05 10:00:00 INF 1 [nsqd] TCP: listening",
+     "nsq", {"level": "INF", "module": "nsqd",
+             "message": "TCP: listening"}),
+    ("nginx",
+     '10.0.0.1 - u1 [05/Jan/2024:10:00:00 +0000] "GET /p HTTP/1.1" 200 '
+     '123 "http://r" "curl/8" 5 "front" "http://back:80" 12ms',
+     "traefik_access_log",
+     {"status_code": 200.0, "size": 123.0, "response_time": 12.0,
+      "user_agent": "curl/8", "message": "GET /p"}),
+    ("nginx",
+     '10.0.0.1 - - [05/Jan/2024:10:00:00 +0000] "GET /x HTTP/1.1" 200 5 '
+     '"-" "Mozilla"',
+     "access_log_combined",
+     {"status_code": 200.0, "referer": "-", "user_agent": "Mozilla",
+      "message": "GET /x"}),
+    ("nginx",
+     "2024/01/05 10:00:00 [error] 123#456: *1 open() failed",
+     "nginx_error_log",
+     {"level": "error", "pid": 123.0, "tid": 456.0,
+      "message": "*1 open() failed"}),
+    ("apache2",
+     "[Wed Oct 11 14:32:52 2000] [error] [client 127.0.0.1] denied",
+     "apache_error_log",
+     {"level": "error", "client_ip": "127.0.0.1", "message": "denied"}),
+    ("flink",
+     "2024-01-05 10:00:00,123 INFO org.apache.flink.JobManager - Starting",
+     "flink_manager", {"severity": "INFO", "message": "Starting"}),
+    ("tutum/cleanup",
+     "2024/01/05 10:00:00 removing exited container",
+     "tutum_cleanup", {"message": "removing exited container"}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [info] <0.123.0> accepting AMQP connection "
+     "<0.124.0> (10.0.0.1:5672 -> 10.0.0.2:5672)",
+     "rabbitmq_connections",
+     {"severity": "info", "connection_event": "accepting",
+      "source_address": "10.0.0.1", "destination_port": 5672.0}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [warning] <0.1.0> memory alarm set",
+     "rabbitmq", {"severity": "warning", "message": "memory alarm set"}),
+    ("postgres",
+     "2024-01-05 10:00:00.123 UTC [77] alice@appdb LOG:  duration: "
+     "1001.0 ms  execute stmt: SELECT 1",
+     "postgres_slowlog",
+     {"pg_user": "alice", "database": "appdb", "duration_ms": 1001.0,
+      "statement": "SELECT 1"}),
+    ("postgres",
+     "2024-01-05 10:00:00.123 UTC [77] LOG:  database system is ready",
+     "postgres",
+     {"pid": 77.0, "severity": "LOG",
+      "message": "database system is ready"}),
+    ("couchdb",
+     "[info] 2024-01-05T10:00:00.000000Z couchdb@node1 couch_log "
+     "abc12345 Apache CouchDB has started",
+     "couchdb",
+     {"severity": "info", "os_host": "couchdb@node1",
+      "message": "Apache CouchDB has started"}),
+    ("heroku",
+     "83 <40>1 2024-01-05T10:00:00+00:00 host app web.1 - State changed",
+     "heroku",
+     {"severity": "emerg", "facility": 5.0, "app": "app",
+      "message": "State changed"}),
+    ("cloudfoundry",
+     "<14>1 2024-01-05T10:00:00+00:00 host proc-1 [app-1] - [t1 t2] hello",
+     "cloudfoundry",
+     {"severity": "info", "facility": 1.0, "tags": "t1 t2",
+      "message": "hello"}),
+    ("syslog.log",
+     "Jan  5 10:00:00 myhost sshd[123]: Accepted publickey for root",
+     "system_log",
+     {"syslog_host": "myhost", "service": "sshd", "pid": 123.0,
+      "message": "Accepted publickey for root"}),
+    ("app.log",
+     "2024-01-05 10:00:00,123 [WARN] low disk space",
+     "log", {"severity": "WARN", "message": "low disk space"}),
+    ("logagent",
+     "2024-01-05T10:00:00Z parsed 100 lines",
+     "logagent-js", {"message": "parsed 100 lines"}),
+]
+
+
+@pytest.mark.parametrize("source,line,ptype,expect",
+                         CASES, ids=[c[2] + "/" + c[0] for c in CASES])
+def test_library_pattern(source, line, ptype, expect):
+    row = parse_one(source, line)
+    assert row["_type"] == ptype
+    for k, v in expect.items():
+        assert row[k] == v, f"{k}: {row[k]!r} != {v!r}"
+
+
+def test_library_dates_parse_or_fall_back():
+    # parsed ts from the line wherever a deterministic format exists
+    for source, line, expected in [
+        ("kafka", "[2024-01-05 10:00:00,123] INFO x",
+         dt.datetime(2024, 1, 5, 10, 0, 0)),
+        ("clickhouse", "2024.01.05 10:00:00.12 [ 1 ] {} <Trace> m: x",
+         dt.datetime(2024, 1, 5, 10, 0, 0)),
+        ("nginx", "2024/01/05 10:00:00 [error] 1#2: x",
+         dt.datetime(2024, 1, 5, 10, 0, 0)),
+        ("apache2", "[Wed Oct 11 14:32:52 2000] [error] "
+         "[client 127.0.0.1] x", dt.datetime(2000, 10, 11, 14, 32, 52)),
+        ("mongo", "2015-07-28T00:35:46.329+0000 I J  [i] x",
+         dt.datetime(2015, 7, 28, 0, 35, 46)),
+        # year-less redis format: deterministic row-ts fallback
+        ("redis", "1:M 22 Jul 21:58:28.146 # x", ROW_TS),
+    ]:
+        row = parse_one(source, line)
+        assert row["@timestamp"] == expected, (source, row["@timestamp"])
+
+
+def test_library_does_not_shadow_transcript_defaults():
+    # transcript roles match no library source gate; the lean default
+    # registry output is unchanged with the library merged in front
+    line = ('9.8.7.6 - - [05/Jan/2024:10:00:00 +0000] '
+            '"GET /about/ HTTP/1.1" 200 512')
+    row = parse_one("user", line)
+    assert row["_type"] == "access_log_combined"
+    assert row["message"] == "GET /about/"
+    assert row["client_ip"] == "9.8.7.6"
