@@ -60,7 +60,11 @@ def _partial_fn(keys: list[str], sum_cols: list[str]):
         g = batch.group_by(keys).aggregate(aggs)
         names = {"count_all": "n"}
         names.update({f"{c}_sum": f"sum_{c}" for c in sum_cols})
-        return g.rename_columns([names.get(c, c) for c in g.column_names])
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        # defragment: the multithreaded hash-aggregate can emit sliced /
+        # multi-chunk columns; contiguous buffers serialize predictably
+        # across the object store, and partials are tiny, so this is free
+        return g.combine_chunks()
     return _partial
 
 
