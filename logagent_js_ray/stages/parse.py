@@ -70,6 +70,8 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
     if dateformat == "java":
         s = pc.replace_substring_regex(
             ts_str, r"[,.]\d+([+-]\d{2}:?\d{2}|Z)?$", "")
+        s = pc.replace_substring_regex(
+            s, r"^(\d{4}-\d{2}-\d{2})T", r"\1 ")  # ES logs use a T sep
         return _strptime(s, "%Y-%m-%d %H:%M:%S")
     if dateformat == "slash":
         return _strptime(ts_str, "%Y/%m/%d %H:%M:%S")

@@ -220,3 +220,38 @@ def test_library_does_not_shadow_transcript_defaults():
     assert row["_type"] == "access_log_combined"
     assert row["message"] == "GET /about/"
     assert row["client_ip"] == "9.8.7.6"
+
+
+def test_es_stack_trace_multiline_then_library_parse(ray_session):
+    """ES java log with a stack trace: multiline merge (blockStart =
+    reference patterns.yml:111) then the library's elasticsearch pattern
+    — the full §2.1 multiline + §2.1 parse composition."""
+    import ray.data
+    from logagent_js_ray.registry import LIBRARY_PATTERNS
+    from logagent_js_ray.stages.multiline import multiline_merge
+    from logagent_js_ray.stages.parse import make_parse_fn
+    lines = [
+        "[2024-01-05T10:00:00,123][ERROR][o.e.b.Bootstrap] [node-1] fatal",
+        "java.lang.OutOfMemoryError: Java heap space",
+        "\tat org.elasticsearch.Boot.main(Boot.java:12)",
+        "[2024-01-05T10:00:01,000][INFO ][o.e.n.Node] [node-1] stopping",
+    ]
+    t = pa.table({
+        "conv_id": pa.array(["es-host"] * 4, pa.string()),
+        "turn_idx": pa.array(range(4), pa.int32()),
+        "text": pa.array(lines, pa.string()),
+        "role": pa.array(["elasticsearch"] * 4, pa.string()),
+        "ts": pa.array([ROW_TS] * 4, pa.timestamp("us")),
+    })
+    ds = multiline_merge(ray.data.from_arrow(t),
+                         block_start=r"^\[\d{4}-\d{2}-\d{2}[ T]")
+    parsed = ds.map_batches(make_parse_fn(pattern_paths=[LIBRARY_PATTERNS]),
+                            batch_format="pyarrow")
+    rows = sorted(parsed.take_all(), key=lambda r: r["turn_idx"])
+    assert len(rows) == 2
+    assert rows[0]["_type"] == "elasticsearch"
+    assert rows[0]["severity"] == "ERROR"
+    assert "OutOfMemoryError" in rows[0]["message"]
+    assert "Boot.java:12" in rows[0]["message"]
+    assert rows[1]["severity"].strip() == "INFO"
+    assert rows[1]["@timestamp"] == dt.datetime(2024, 1, 5, 10, 0, 1)
