@@ -52,6 +52,9 @@ def load_config(path: str) -> PipelineConfig:
     base = os.path.dirname(os.path.abspath(path))
 
     def resolve(p):
+        if p == "library":  # the bundled 30-source stock library
+            from .registry import LIBRARY_PATTERNS
+            return LIBRARY_PATTERNS
         return p if os.path.isabs(p) else os.path.join(base, p)
 
     inp = doc.get("input", {})

@@ -44,6 +44,15 @@ output:
     assert cfg.out_dir == "/out"
 
 
+def test_load_config_library_alias(tmp_path):
+    from logagent_js_ray.config import load_config
+    from logagent_js_ray.registry import LIBRARY_PATTERNS
+    cfgf = tmp_path / "p.yml"
+    cfgf.write_text("input:\n  parquet: {path: /d}\n"
+                    "options:\n  patterns: [library]\n")
+    assert load_config(str(cfgf)).pattern_files == [LIBRARY_PATTERNS]
+
+
 def test_cli_end_to_end(sf_small, tmp_path):
     """Full CLI run in a subprocess (owns its own Ray session)."""
     out = subprocess.run(
