@@ -17,9 +17,12 @@ Mirrored operators (all gated by an optional ``matchSource`` regex over
   * rename_fields — /root/reference/lib/plugins/output-filter/rename-fields.js:5-26
   * lowercase_fields — /root/reference/lib/plugins/output-filter/lowercase-fields.js:5-43
   * aes_encrypt_fields — /root/reference/lib/plugins/output-filter/aes-encrypt-fields.js:15-53
-                    (deterministic keyed stand-in: no AES primitive is
-                    available in this environment, so values become
-                    ``aes:<sha256(key || value)>`` — clearly marked)
+                    Real AES-256-CBC, byte-compatible with Node's legacy
+                    ``crypto.createCipher('aes256', password)``: key+IV
+                    derived via OpenSSL EVP_BytesToKey (MD5, no salt),
+                    PKCS7 padding, hex output. Falls back to a clearly
+                    marked ``aes:<sha256(key||value)>`` stand-in only if
+                    the ``cryptography`` package is absent.
 
 Mutation-order coupling (SURVEY.md §7.5): filters run in DECLARED order
 and each captures the pre-mask value before rewriting ``message``,
@@ -41,6 +44,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 REMOVED = "!REMOVED!"
+
+try:
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    _HAVE_AES = True
+except ImportError:  # pragma: no cover - present in this environment
+    _HAVE_AES = False
+
+
+def _evp_bytes_to_key(password: bytes, key_len: int = 32,
+                      iv_len: int = 16) -> tuple[bytes, bytes]:
+    """OpenSSL EVP_BytesToKey with MD5, no salt, count=1 — what Node's
+    legacy ``crypto.createCipher`` uses to turn a password into key+IV
+    (aes-encrypt-fields.js:16). Same password -> same ciphertext, which
+    is what makes the reference's in-message rewrite deterministic."""
+    d, prev = b"", b""
+    while len(d) < key_len + iv_len:
+        prev = hashlib.md5(prev + password).digest()
+        d += prev
+    return d[:key_len], d[key_len:key_len + iv_len]
+
+
+def aes_encrypt_value(text: str, key: bytes, iv: bytes) -> str:
+    """AES-256-CBC + PKCS7, hex digest — mirrors cipher.update/final
+    ('utf8' -> 'hex', aes-encrypt-fields.js:15-20)."""
+    data = text.encode("utf-8")
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return (enc.update(data) + enc.finalize()).hex()
 
 
 def _np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -144,13 +177,22 @@ def mask_batch(batch: pa.Table, cfg: MaskConfig) -> pa.Table:
         cols[f] = np.where(gate, hashed, old)
         rewrite_messages(old, hashed)
 
+    if cfg.aes_fields and _HAVE_AES:
+        aes_key, aes_iv = _evp_bytes_to_key(cfg.aes_key.encode("utf-8"))
     for f in cfg.aes_fields:
         if f not in names:
             continue
         old = col(f).copy()
-        enc = _hash_values(np.array([None if v is None else cfg.aes_key + str(v)
-                                     for v in old], dtype=object),
-                           "sha256", prefix="aes:")
+        if _HAVE_AES:
+            enc = np.array(
+                [None if v is None else aes_encrypt_value(str(v), aes_key,
+                                                          aes_iv)
+                 for v in old], dtype=object)
+        else:  # clearly-marked stand-in (no cryptography package)
+            enc = _hash_values(
+                np.array([None if v is None else cfg.aes_key + str(v)
+                          for v in old], dtype=object),
+                "sha256", prefix="aes:")
         cols[f] = np.where(gate, enc, old)
         rewrite_messages(old, enc)
 

@@ -88,3 +88,34 @@ def test_message_rewrite_first_occurrence_only():
                                    message_cols=["message"]))
     h = hashlib.sha256(b"abc").hexdigest()
     assert out["message"][0].as_py() == f"{h} then abc"
+
+
+def test_aes_encrypt_fields_real_aes256():
+    """aes-encrypt-fields.js:15-53 — byte-compatible with Node's legacy
+    crypto.createCipher('aes256', password): EVP_BytesToKey(md5,
+    nosalt) + AES-256-CBC + PKCS7, hex. The expected hex below was
+    produced independently by `openssl enc -aes-256-cbc -md md5 -nosalt
+    -pass pass:secret`."""
+    import pyarrow as pa
+    from logagent_js_ray.stages.mask import (MaskConfig, _evp_bytes_to_key,
+                                             mask_batch)
+    t = pa.table({
+        "logSource": ["user", "user"],
+        "card": ["hello world", None],
+        "message": ["card=hello world ok", "no card"],
+    })
+    cfg = MaskConfig(aes_fields=["card"], aes_key="secret")
+    out = mask_batch(t, cfg)
+    expected = "a9943e6403791ebc6d72f58e69303ebc"
+    assert out["card"][0].as_py() == expected
+    assert out["card"][1].as_py() is None
+    # in-message rewrite of the plaintext occurrence (js:40-42)
+    assert out["message"][0].as_py() == f"card={expected} ok"
+    assert out["message"][1].as_py() == "no card"
+    # decrypt round-trip proves real AES, not a hash stand-in
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    key, iv = _evp_bytes_to_key(b"secret")
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    plain = dec.update(bytes.fromhex(expected)) + dec.finalize()
+    assert plain[:-plain[-1]].decode() == "hello world"
