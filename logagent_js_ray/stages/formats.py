@@ -190,6 +190,30 @@ def pc_cast_ns(arr):
                                pa.int64()), 1000)
 
 
+def gelf_projection(batch: pa.Table,
+                    source_name: str = "batch") -> pa.Table:
+    """GELF field mapping — the format half of the gelf UDP sink
+    (/root/reference/lib/plugins/output/gelfout.js:27-38): timestamp,
+    level (severity, 'INFO' default), full_message, short_message with
+    the ``src:logagent-`` prefix. The chunked-UDP transport itself is a
+    live service and out of scope."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+
+    def col(name):
+        return batch[name] if name in batch.column_names else pa.nulls(n)
+
+    level = pc.coalesce(pc.cast(col("severity"), pa.string()),
+                        pa.scalar("INFO", pa.string()))
+    return pa.table({
+        "timestamp": pc.cast(col("@timestamp"), pa.timestamp("us")),
+        "level": level,
+        "full_message": pc.cast(col("message"), pa.string()),
+        "short_message": pa.array([f"src:logagent-{source_name}"] * n,
+                                  pa.string()),
+    })
+
+
 class GeoPrefixEnricher:
     """GeoIP-style enrichment — actor-pool stage holding a RANGE lookup
     loaded once per actor (/root/reference/lib/plugins/output-filter/

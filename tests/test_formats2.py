@@ -83,3 +83,20 @@ def test_global_transform():
     t = pa.table({"x": [1, 2]})
     out = make_global_transform_fn(add_flag)(t)
     assert out["flagged"].to_pylist() == [True, True]
+
+
+def test_gelf_projection():
+    from logagent_js_ray.stages.formats import gelf_projection
+    t = pa.table({
+        "@timestamp": pa.array([dt.datetime(2024, 1, 5, 10)] * 2,
+                               pa.timestamp("us")),
+        "severity": pa.array(["error", None], pa.string()),
+        "message": pa.array(["boom", "fine"], pa.string()),
+        "extra": pa.array([1, 2], pa.int64()),
+    })
+    out = gelf_projection(t, source_name="files")
+    assert out.column_names == ["timestamp", "level", "full_message",
+                                "short_message"]
+    assert out["level"].to_pylist() == ["error", "INFO"]  # default INFO
+    assert out["short_message"].to_pylist() == ["src:logagent-files"] * 2
+    assert out["full_message"].to_pylist() == ["boom", "fine"]

@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) — round-trip and invariant checks
+the reference's example-based mocha suite never had (SURVEY.md §5).
+All pure-batch functions; no Ray session needed."""
+
+import hashlib
+import json
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+IDENT = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,15}", fullmatch=True)
+# printable ASCII minus backslash/newline/quote (escaping contract of the
+# influx serializer below stays trivially invertible)
+SAFE_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters='\\"'),
+    min_size=1, max_size=24)
+
+
+def _esc_tag(v: str) -> str:
+    return v.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    measurement=IDENT,
+    tags=st.dictionaries(IDENT, SAFE_TEXT, max_size=4),
+    fields=st.dictionaries(
+        IDENT,
+        st.one_of(st.integers(min_value=-2**53, max_value=2**53),
+                  st.floats(allow_nan=False, allow_infinity=False,
+                            width=64),
+                  st.booleans(), SAFE_TEXT),
+        min_size=1, max_size=4),
+    ts=st.one_of(st.none(),
+                 st.integers(min_value=0, max_value=2**62)),
+)
+def test_influx_line_round_trip(measurement, tags, fields, ts):
+    from logagent_js_ray.sources.wire_formats import parse_influx_line
+    tag_part = "".join(f",{_esc_tag(k)}={_esc_tag(v)}"
+                       for k, v in tags.items())
+
+    def fmt(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}i"
+        if isinstance(v, float):
+            return repr(v)
+        return '"' + v + '"'
+
+    field_part = ",".join(f"{k}={fmt(v)}" for k, v in fields.items())
+    line = f"{measurement}{tag_part} {field_part}"
+    if ts is not None:
+        line += f" {ts}"
+    ir = parse_influx_line(line)
+    assert ir is not None, line
+    assert ir["measurement"] == measurement
+    assert ir["tags"] == tags
+    assert ir["fields"] == fields
+    assert ir["timestamp"] == ts
+
+
+@settings(max_examples=100, deadline=None)
+@given(docs=st.lists(
+    st.tuples(st.one_of(st.none(), IDENT),          # _index or default
+              st.one_of(st.none(), IDENT),          # _id
+              st.dictionaries(IDENT, st.one_of(st.integers(), SAFE_TEXT),
+                              max_size=3)),
+    min_size=1, max_size=6))
+def test_es_bulk_round_trip(docs):
+    from logagent_js_ray.sources.wire_formats import es_bulk_parse
+    lines = []
+    for idx, _id, src in docs:
+        action = {}
+        if idx is not None:
+            action["_index"] = idx
+        if _id is not None:
+            action["_id"] = _id
+        lines.append(json.dumps({"index": action}))
+        lines.append(json.dumps(src))
+    t = pa.table({"body": ["\n".join(lines)]})
+    out = es_bulk_parse(t, default_index="dflt", default_type="_doc")
+    assert out.num_rows == len(docs)
+    for i, (idx, _id, src) in enumerate(docs):
+        assert out["_index"][i].as_py() == (idx or "dflt")
+        assert out["_id"][i].as_py() == _id
+        assert json.loads(out["source_json"][i].as_py()) == src
+
+
+@settings(max_examples=100, deadline=None)
+@given(value=SAFE_TEXT,
+       prefix=SAFE_TEXT, suffix=SAFE_TEXT)
+def test_hash_mask_rewrites_first_occurrence(value, prefix, suffix):
+    from logagent_js_ray.stages.mask import MaskConfig, mask_batch
+    msg = f"{prefix}{value}{suffix}"
+    t = pa.table({"logSource": ["user"],
+                  "secret": [value],
+                  "message": [msg]})
+    out = mask_batch(t, MaskConfig(hash_fields=["secret"]))
+    h = hashlib.sha256(value.encode()).hexdigest()
+    assert out["secret"][0].as_py() == h
+    # first occurrence of the value inside message is rewritten
+    assert out["message"][0].as_py() == msg.replace(value, h, 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(starts=st.lists(st.booleans(), min_size=1, max_size=30))
+def test_multiline_block_count(starts):
+    """Merged block count == number of blockStart lines (plus one if the
+    group begins mid-block, multiLine.js:53-71 semantics)."""
+    import pandas as pd
+    from logagent_js_ray.stages.multiline import merge_group
+    lines = [("START line %d" % i) if s else ("  cont %d" % i)
+             for i, s in enumerate(starts)]
+    g = pd.DataFrame({"conv_id": ["c"] * len(lines),
+                      "turn_idx": range(len(lines)),
+                      "text": lines})
+    out = merge_group(g, re.compile(r"^START"), "text", "turn_idx")
+    expected = sum(starts) + (0 if starts[0] else 1)
+    assert len(out) == expected
+    # every input line survives in exactly one block
+    assert sum(len(t.split("\n")) for t in out["text"]) == len(lines)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ips=st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255),
+              st.integers(0, 255), st.integers(0, 255)),
+    min_size=1, max_size=8))
+def test_ip_truncate_zeroes_last_octet(ips):
+    from logagent_js_ray.stages.mask import truncate_ipv4
+    import numpy as np
+    vals = np.array([f"{a}.{b}.{c}.{d}" for a, b, c, d in ips],
+                    dtype=object)
+    out = truncate_ipv4(vals)
+    for (a, b, c, _), got in zip(ips, out):
+        assert got == f"{a}.{b}.{c}.0"
