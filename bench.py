@@ -143,7 +143,9 @@ def run_scaling() -> dict:
             time.sleep(settle)
         return best
 
-    for mode in ("sink", "agg"):
+    modes = tuple(os.environ.get("GRAFT_SCALING_MODES",
+                                 "sink,agg").split(","))
+    for mode in modes:
         os.environ["GRAFT_BENCH_MODE"] = mode
         r_lo, r_hi = best_at(lo), best_at(hi)
         tps_lo, tps_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
@@ -154,7 +156,7 @@ def run_scaling() -> dict:
         out[f"turns_per_sec_32{suffix}"] = tps_hi
         out[f"efficiency{suffix}"] = round((tps_hi / tps_lo) / (hi / lo), 3)
         out["sf"], out["turns"] = r_hi["sf"], r_hi["turns"]
-    out["value"] = out["efficiency_agg"]
+    out["value"] = out.get("efficiency_agg", out.get("efficiency"))
     return out
 
 
