@@ -89,6 +89,46 @@ class DecodeImage:
         return out
 
 
+class ExtractAudioFeatures:
+    """Audio feature-extract plumbing (mel-spectrogram-shaped output).
+    STUB kernel: no audio libs in this container, so features derive
+    deterministically from the payload digest; schema (frames x mels
+    fixed-size list), batch sizing and actor signature are the real
+    contract a librosa/torchaudio kernel would drop into."""
+
+    N_MELS = 16
+    N_FRAMES = 8
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+        try:  # pragma: no cover - not installed in this environment
+            import librosa  # noqa: F401
+            self.real = True
+        except ImportError:
+            self.real = False
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if self.real:  # pragma: no cover
+            raise NotImplementedError("real audio decode not in sandbox")
+        digest = hashlib.sha256(b"audio:" + payload).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        return rng.standard_normal(
+            self.N_FRAMES * self.N_MELS).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        keep = [i for i, k in enumerate(kinds) if k == "audio"]
+        out = batch.select(["media_id", "sample_rate"]).take(
+            pa.array(keep, pa.int64()))
+        feats = [self._features(payloads[i]) for i in keep]
+        dim = self.N_FRAMES * self.N_MELS
+        arr = (pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats)), dim) if feats
+            else pa.nulls(0, pa.list_(pa.float32(), dim)))
+        return out.append_column("mel_features", arr)
+
+
 class SampleFrames:
     """Video frame-sampling plumbing: emits one row per sampled frame
     index (flat-map shape) without decoding in the sandbox."""

@@ -168,3 +168,25 @@ def test_topk_ivf_scan_and_index(ray_session, tmp_path):
     idx = build_ivf_index(ds, cents, str(tmp_path / "ivf"))
     got2 = topk_cosine_ivf_index(idx, vecs[3], cents, k=5, nprobe=3)
     assert 3 in set(got2["vec_id"]) and 7 in set(got2["vec_id"])
+
+
+def test_audio_features_plumbing(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.multimodal import (ExtractAudioFeatures,
+                                                synthesize_media_table)
+    tbl = synthesize_media_table(48)
+    out = ray.data.from_arrow(tbl).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=2).take_all()
+    n_audio = sum(1 for k in tbl["kind"].to_pylist() if k == "audio")
+    assert len(out) == n_audio
+    dim = ExtractAudioFeatures.N_FRAMES * ExtractAudioFeatures.N_MELS
+    assert all(len(r["mel_features"]) == dim for r in out)
+    # deterministic: same payload -> same features
+    again = ray.data.from_arrow(tbl).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=2).take_all()
+    a = sorted(out, key=lambda r: r["media_id"])
+    b = sorted(again, key=lambda r: r["media_id"])
+    assert all(np.allclose(x["mel_features"], y["mel_features"])
+               for x, y in zip(a, b))
