@@ -190,3 +190,32 @@ def test_audio_features_plumbing(ray_session):
     b = sorted(again, key=lambda r: r["media_id"])
     assert all(np.allclose(x["mel_features"], y["mel_features"])
                for x, y in zip(a, b))
+
+
+def test_asof_join_semantics(ray_session):
+    import datetime as dt
+    import ray.data
+    from logagent_js_ray.ops.joins import asof_join
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = ray.data.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4],
+        "user": ["a", "a", "b", "c"],
+        "ts": pa.array([T(10), T(5), T(7), T(9)], pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": [100, 101, 102],
+        "user": ["a", "a", "b"],
+        "ts": pa.array([T(4), T(8), T(7)], pa.timestamp("us")),
+    }))
+    out = asof_join(left, right, key="user", right_cols=["rid"]).to_pandas()
+    got = {int(r.lid): int(r.rid_r) for r in out.itertuples()}
+    # lid=1 (a@10) -> rid 101 (a@8, latest <= 10); lid=2 (a@5) -> 100
+    # lid=3 (b@7) -> 102 (equal ts matches); lid=4 (c) -> no right: drop
+    assert got == {1: 101, 2: 100, 3: 102}
+    assert out[out.lid == 3]["ts_r"].iloc[0] == T(7)
+    # tolerance bounds the lookback window: lid=1's match is 2s back
+    # and drops at a 1s tolerance; lid=2 (1s) and lid=3 (0s) stay
+    out2 = asof_join(left, right, key="user", right_cols=["rid"],
+                     tolerance_us=1_000_000).to_pandas()
+    assert {int(r.lid): int(r.rid_r) for r in out2.itertuples()} == \
+        {2: 100, 3: 102}
