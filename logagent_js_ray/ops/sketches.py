@@ -1,0 +1,111 @@
+"""Mergeable sketches — the 'novel sketch' class of custom operators
+(SURVEY.md §2.8: the reference has none; a 100 TB pipeline needs them).
+
+heavy_hitters: EXACT frequent-items via the classic two-pass scheme:
+
+  pass 1  per-block Misra-Gries summaries (k counters), merged through
+          an associative compress tree — the mergeable-summaries result
+          (Agarwal et al., PODS'12): the merged sketch underestimates
+          any item's count by at most n/k, so every item with frequency
+          >= n/k survives as a candidate. Only O(k) rows per block move.
+  pass 2  broadcast the candidate set (ray.put), exact-count ONLY the
+          candidates per block (partial + tree merge), keep those at or
+          above the threshold. Output is exact — the sketch bounds the
+          shuffle, it never touches correctness.
+
+At 10^12 rows this is the only sane shape: a groupby over the full key
+column shuffles every distinct key; this moves k rows per block, then
+|candidates| rows per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.aggregate import agg_counts
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a counter set to <= k entries, Misra-Gries style: drop
+    the tail and subtract the (k+1)-th largest count from the survivors
+    (keeps the <= n/k undercount guarantee associative under merge)."""
+    if len(counts) <= k:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    s = counts[order[k]]
+    keep = order[:k]
+    newc = counts[keep] - s
+    m = newc > 0
+    return items[keep][m], newc[m]
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str,
+                  threshold_num: int = 1, threshold_den: int = 100,
+                  k: int | None = None) -> pd.DataFrame:
+    """Items of ``col`` occurring in >= threshold_num/threshold_den of
+    all rows, with EXACT counts. Integer threshold arithmetic so the
+    result is reproducible bit-for-bit against SQL."""
+    if k is None:
+        # guarantee: undercount <= n/k, so k = den/num keeps every item
+        # at the threshold in the candidate set (2x margin for comfort)
+        k = 2 * max(2, threshold_den // max(1, threshold_num))
+
+    def partial_sketch(b: pa.Table) -> pa.Table:
+        vc = b.group_by(col).aggregate([([], "count_all")])
+        items = np.asarray(vc[col].to_pylist(), dtype=object)
+        counts = np.asarray(vc["count_all"].to_pylist(), dtype=np.int64)
+        items, counts = _mg_compress(items, counts, k)
+        return pa.table({col: pa.array(list(items)),
+                         "mg_count": pa.array(counts, pa.int64()),
+                         "rows_seen": pa.array(
+                             [b.num_rows] + [0] * (len(items) - 1)
+                             if len(items) else [], pa.int64())})
+
+    def merge_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        g = df.groupby(col, as_index=False).agg(
+            mg_count=("mg_count", "sum"), rows_seen=("rows_seen", "sum"))
+        items, counts = _mg_compress(
+            g[col].to_numpy(dtype=object), g["mg_count"].to_numpy(), k)
+        kept = pd.DataFrame({col: items, "mg_count": counts})
+        kept["rows_seen"] = 0
+        if len(kept):
+            kept.loc[kept.index[0], "rows_seen"] = g["rows_seen"].sum()
+        return kept
+
+    sketches = ds.map_batches(partial_sketch, batch_format="pyarrow",
+                              batch_size=None)
+    lvl = sketches.repartition(8).map_batches(merge_sketch,
+                                              batch_format="pandas",
+                                              batch_size=None)
+    root = lvl.repartition(1).map_batches(merge_sketch,
+                                          batch_format="pandas",
+                                          batch_size=None).to_pandas()
+    n_total = int(root["rows_seen"].sum())
+    candidates = set(root[col])
+    if not candidates:
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+
+    # pass 2: exact counts of the candidate set only
+    cand_ref = ray.put(candidates)
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        vals = b[col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in cands for v in vals), dtype=bool,
+                           count=len(vals))
+        return b.filter(pa.array(mask))
+
+    exact = agg_counts(ds.map_batches(keep_candidates,
+                                      batch_format="pyarrow",
+                                      batch_size=None), [col]).to_pandas()
+    out = exact[exact["n"] * threshold_den >= n_total * threshold_num]
+    return out.reset_index(drop=True)

@@ -219,3 +219,38 @@ def test_asof_join_semantics(ray_session):
                      tolerance_us=1_000_000).to_pandas()
     assert {int(r.lid): int(r.rid_r) for r in out2.itertuples()} == \
         {2: 100, 3: 102}
+
+
+def test_heavy_hitters_exact(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.sketches import heavy_hitters
+    # 1000 rows: 'hot' 150x, 'warm' 20x (exactly 2%), 830 singletons
+    vals = ["hot"] * 150 + ["warm"] * 20 + [f"u{i}" for i in range(830)]
+    rng = np.random.default_rng(3)
+    vals = [vals[i] for i in rng.permutation(len(vals))]
+    ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(8)
+    out = heavy_hitters(ds, "k", threshold_num=2, threshold_den=100)
+    got = dict(zip(out["k"], out["n"]))
+    assert got == {"hot": 150, "warm": 20}  # exact, incl. the boundary
+    # tighter threshold drops the boundary item
+    out2 = heavy_hitters(ds, "k", threshold_num=5, threshold_den=100)
+    assert dict(zip(out2["k"], out2["n"])) == {"hot": 150}
+
+
+def test_mg_compress_undercount_bound():
+    from logagent_js_ray.ops.sketches import _mg_compress
+    rng = np.random.default_rng(9)
+    counts = rng.integers(1, 500, size=200).astype(np.int64)
+    items = np.array([f"i{j}" for j in range(200)], dtype=object)
+    k = 10
+    kept_i, kept_c = _mg_compress(items, counts, k)
+    assert len(kept_i) <= k
+    lookup = dict(zip(kept_i, kept_c))
+    # every kept item is undercounted by at most the subtracted offset,
+    # and no dropped item can exceed the (k+1)-th largest count
+    s = np.sort(counts)[::-1][k]
+    for it, c in zip(items, counts):
+        if it in lookup:
+            assert 0 < lookup[it] == c - s or lookup[it] == c
+        else:
+            assert c <= s
