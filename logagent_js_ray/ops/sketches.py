@@ -109,3 +109,50 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
                                       batch_size=None), [col]).to_pandas()
     out = exact[exact["n"] * threshold_den >= n_total * threshold_num]
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- KMV
+
+_KMV_PRIME = np.uint64((1 << 61) - 1)
+_KMV_A = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _kmv_hashes(values: np.ndarray) -> np.ndarray:
+    import zlib
+    h = np.fromiter((zlib.crc32(str(v).encode()) ^
+                     (zlib.crc32(str(v)[::-1].encode()) << 31)
+                     for v in values), dtype=np.uint64, count=len(values))
+    return (h * _KMV_A) % _KMV_PRIME
+
+
+def distinct_count_kmv(ds: "ray.data.Dataset", col: str,
+                       k: int = 1024) -> dict:
+    """Approximate COUNT DISTINCT via the k-minimum-values sketch:
+    each block keeps its k smallest value-hashes (mergeable by union +
+    re-truncate), the estimator is (k-1) / kth_min_normalized
+    (Bar-Yossef et al. 2002). Only k uint64s per block move; relative
+    error ~ 1/sqrt(k) (~3% at k=1024). Returns {"estimate", "k",
+    "exact_if_small"} — when fewer than k distinct hashes exist the
+    sketch IS the exact distinct set."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[col].to_numpy(zero_copy_only=False)
+        h = np.unique(_kmv_hashes(vals))
+        return pa.table({"kmv": pa.array(h[:k].astype(np.uint64))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df["kmv"].to_numpy())
+        return pd.DataFrame({"kmv": h[:k]})
+
+    root = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(8)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .to_pandas())
+    h = np.sort(root["kmv"].to_numpy())
+    if len(h) < k:
+        return {"estimate": float(len(h)), "k": k, "exact_if_small": True}
+    kth = float(h[k - 1]) / float(_KMV_PRIME)
+    return {"estimate": (k - 1) / kth, "k": k, "exact_if_small": False}

@@ -254,3 +254,20 @@ def test_mg_compress_undercount_bound():
             assert 0 < lookup[it] == c - s or lookup[it] == c
         else:
             assert c <= s
+
+
+def test_kmv_distinct_count(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.sketches import distinct_count_kmv
+    # small-cardinality: sketch is exact
+    ds = ray.data.from_arrow(pa.table(
+        {"k": [f"v{i % 37}" for i in range(2000)]})).repartition(6)
+    r = distinct_count_kmv(ds, "k", k=256)
+    assert r["exact_if_small"] and r["estimate"] == 37.0
+    # large-cardinality: estimate within ~4 sigma of 1/sqrt(k)
+    n = 20000
+    ds2 = ray.data.from_arrow(pa.table(
+        {"k": [f"u{i}" for i in range(n)]})).repartition(6)
+    r2 = distinct_count_kmv(ds2, "k", k=1024)
+    assert not r2["exact_if_small"]
+    assert abs(r2["estimate"] - n) / n < 4 / np.sqrt(1024)
