@@ -156,3 +156,58 @@ def distinct_count_kmv(ds: "ray.data.Dataset", col: str,
         return {"estimate": float(len(h)), "k": k, "exact_if_small": True}
     kth = float(h[k - 1]) / float(_KMV_PRIME)
     return {"estimate": (k - 1) / kth, "k": k, "exact_if_small": False}
+
+
+# ----------------------------------------------------------- quantiles
+
+def approx_quantiles(ds: "ray.data.Dataset", col: str,
+                     qs: tuple = (0.5, 0.9, 0.99),
+                     m: int = 2048) -> pd.DataFrame:
+    """Mergeable weighted-sample quantile sketch: each block contributes
+    an m-point equi-depth summary (sorted sample with per-point weight =
+    block_rows/m); merges weighted-sort and re-compress to m points.
+    Memory per block/merge is O(m); accuracy ~ 1/m of rank. Quantile =
+    weighted lower-rank lookup over the final summary."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.sort(b[col].to_numpy(zero_copy_only=False).astype(
+            np.float64))
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"q_val": pa.array([], pa.float64()),
+                             "q_w": pa.array([], pa.float64())})
+        if len(v) <= m:
+            return pa.table({"q_val": pa.array(v),
+                             "q_w": pa.array(np.ones(len(v)))})
+        # equi-depth m-point summary (midpoints of m rank buckets)
+        idx = ((np.arange(m) + 0.5) * len(v) / m).astype(np.int64)
+        return pa.table({"q_val": pa.array(v[idx]),
+                         "q_w": pa.array(
+                             np.full(m, len(v) / m, np.float64))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= m:
+            return df
+        df = df.sort_values("q_val")
+        w = df["q_w"].to_numpy()
+        v = df["q_val"].to_numpy()
+        cum = np.cumsum(w)
+        total = cum[-1]
+        targets = (np.arange(m) + 0.5) * total / m
+        pos = np.searchsorted(cum, targets)
+        return pd.DataFrame({"q_val": v[np.clip(pos, 0, len(v) - 1)],
+                             "q_w": np.full(m, total / m)})
+
+    root = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(8)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .to_pandas().sort_values("q_val"))
+    v = root["q_val"].to_numpy()
+    cum = np.cumsum(root["q_w"].to_numpy())
+    total = cum[-1]
+    out = [v[min(np.searchsorted(cum, q * total), len(v) - 1)]
+           for q in qs]
+    return pd.DataFrame({"quantile": list(qs), "value": out})

@@ -271,3 +271,17 @@ def test_kmv_distinct_count(ray_session):
     r2 = distinct_count_kmv(ds2, "k", k=1024)
     assert not r2["exact_if_small"]
     assert abs(r2["estimate"] - n) / n < 4 / np.sqrt(1024)
+
+
+def test_approx_quantiles_accuracy(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.sketches import approx_quantiles
+    rng = np.random.default_rng(12)
+    vals = rng.lognormal(0.0, 1.5, size=50_000)  # heavy-tailed
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(10)
+    out = approx_quantiles(ds, "v", qs=(0.5, 0.9, 0.99), m=2048)
+    got = dict(zip(out["quantile"], out["value"]))
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        # rank error ~ total/m -> value error small away from the tail
+        assert abs(got[q] - exact) / exact < 0.05, (q, got[q], exact)
