@@ -91,3 +91,74 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return combined.groupby(key).map_groups(group_asof,
                                             batch_format="pandas")
+
+
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, ts_col: str = "ts",
+               start_col: str = "t_start", end_col: str = "t_end",
+               right_cols: list[str] | None = None,
+               rsuffix: str = "_r") -> "ray.data.Dataset":
+    """INNER interval-containment join: left rows match the right
+    interval with ``start <= left.ts <= end`` for the same ``key``.
+    ASSUMPTION (documented per §2 custom-operator contract): intervals
+    are NON-OVERLAPPING per key (e.g. session windows) — each left row
+    matches at most one interval, located by one searchsorted per group.
+    Same co-partitioning shape as asof_join: one groupby(key) shuffle.
+    """
+    ls = left.schema()
+    l_types = dict(zip(ls.names, ls.types))
+    left_cols = list(ls.names)
+    rs = right.schema()
+    r_types = dict(zip(rs.names, rs.types))
+    right_cols = right_cols or [c for c in rs.names
+                                if c not in (key, start_col, end_col)]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.append_column("_side", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+        for c in right_cols:
+            b = b.append_column(f"_r_{c}", pa.nulls(b.num_rows,
+                                                    r_types[c]))
+        b = b.append_column("_r_start", pa.nulls(b.num_rows,
+                                                 r_types[start_col]))
+        return b.append_column("_r_end", pa.nulls(b.num_rows,
+                                                  r_types[end_col]))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        out = {key: b[key], "_side": pa.array(
+            np.ones(b.num_rows, dtype=np.int8))}
+        for c in left_cols:
+            if c not in out:
+                out[c] = pa.nulls(b.num_rows, l_types[c])
+        for c in right_cols:
+            out[f"_r_{c}"] = b[c]
+        out["_r_start"] = b[start_col]
+        out["_r_end"] = b[end_col]
+        order = (left_cols + ["_side"] + [f"_r_{c}" for c in right_cols]
+                 + ["_r_start", "_r_end"])
+        return pa.table({c: out[c] for c in order})
+
+    combined = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    out_r = [f"{c}{rsuffix}" for c in right_cols]
+    empty_cols = {c: pd.Series([], dtype=object)
+                  for c in left_cols + out_r}
+
+    def group_range(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        rg = g[g["_side"] == 1].sort_values("_r_start")
+        if lg.empty or rg.empty:
+            return pd.DataFrame(empty_cols)
+        starts = rg["_r_start"].to_numpy()
+        ends = rg["_r_end"].to_numpy()
+        ts = lg[ts_col].to_numpy()
+        idx = np.searchsorted(starts, ts, side="right") - 1
+        ok = (idx >= 0) & (ts <= ends[np.clip(idx, 0, None)])
+        out = lg.loc[ok, left_cols].reset_index(drop=True)
+        sel = rg.iloc[idx[ok]]
+        for c in right_cols:
+            out[f"{c}{rsuffix}"] = sel[f"_r_{c}"].to_numpy()
+        return out
+
+    return combined.groupby(key).map_groups(group_range,
+                                            batch_format="pandas")

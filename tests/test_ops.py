@@ -285,3 +285,28 @@ def test_approx_quantiles_accuracy(ray_session):
         exact = np.quantile(vals, q)
         # rank error ~ total/m -> value error small away from the tail
         assert abs(got[q] - exact) / exact < 0.05, (q, got[q], exact)
+
+
+def test_range_join_semantics(ray_session):
+    import datetime as dt
+    import ray.data
+    from logagent_js_ray.ops.joins import range_join
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = ray.data.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4, 5],
+        "user": ["a", "a", "a", "b", "b"],
+        "ts": pa.array([T(1), T(5), T(30), T(10), T(2)],
+                       pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "win": [10, 11, 20],
+        "user": ["a", "a", "b"],
+        "t_start": pa.array([T(0), T(20), T(8)], pa.timestamp("us")),
+        "t_end": pa.array([T(6), T(40), T(12)], pa.timestamp("us")),
+    }))
+    out = range_join(left, right, key="user",
+                     right_cols=["win"]).to_pandas()
+    got = {int(r.lid): int(r.win_r) for r in out.itertuples()}
+    # lid 1,2 in a's first window (boundaries inclusive); lid 3 in the
+    # second; lid 4 in b's window; lid 5 (b@2) before any: dropped
+    assert got == {1: 10, 2: 10, 3: 11, 4: 20}
