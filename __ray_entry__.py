@@ -29,7 +29,11 @@ def entry() -> Any:
     input -> small fixed actor pool; the CPU-sized pool is for real
     corpora)."""
     from logagent_js_ray.pipelines.flagship import build_routed
-    routed = build_routed(ensure_transcripts("sf0.001"), concurrency=4)
+    # elastic pool (min 1): a FIXED pool of 4 actors starves the
+    # downstream sort of CPU slots on a <=4-CPU session (observed
+    # livelock at num_cpus=4); the driver runs larger sessions but the
+    # entry point must not deadlock on small ones
+    routed = build_routed(ensure_transcripts("sf0.001"), concurrency=(1, 4))
     return routed.sort(["conv_id", "turn_idx"])
 
 

@@ -7,15 +7,28 @@ enrichment is a broadcast lookup, stages/enrich.py); these exist for the
 training-data side of the engine (align events to transcript turns,
 sessionize against side streams, point-in-time feature joins).
 
-Partitioning assumption (documented per the §2 contract): both sides are
-co-partitioned by the join ``key`` via one ``groupby(key)`` — a single
-all-to-all shuffle; within a group rows are sorted by time and matched
-vectorized (pandas ``merge_asof``). A hot key concentrates one group;
-salt by a coarse time-range column (split the right side's history per
-salt bucket) if a single key's rows exceed one worker's heap.
+Partitioning / scale design (per the §2 custom-operator contract):
+both sides are co-partitioned by a COARSE key bucket ``hash(key) %
+num_buckets`` via one ``groupby`` — a single all-to-all shuffle with a
+BOUNDED group count (Ray's per-group dispatch is Python-priced, so group
+count, not raw key cardinality, is the cost driver; same pattern as
+ops/dedup.py). Inside each bucket all keys are matched in ONE vectorized
+``pandas.merge_asof(..., by=key)`` — C-speed across every key in the
+bucket, no per-key Python. A hot key concentrates one bucket; raise
+``num_buckets`` or salt by a coarse time-range column if a single
+bucket's rows exceed one worker's heap.
+
+Determinism: right-side ties on (key, ts) are deduplicated INSIDE the
+operator keeping the row with the lexicographically greatest
+``right_cols`` tuple (== SQL ``max(col)`` per (key, ts) for a single
+right column), so results are stable under any shuffle arrival order.
+Output dtypes are restored to the input schemas (the tagged union
+carries nulls, which pandas would otherwise promote int64 -> float64).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -23,20 +36,65 @@ import pyarrow as pa
 
 import ray.data
 
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
+    """Deterministic ``hash(key) % num_buckets`` over an Arrow array.
+    Integer keys hash vectorized (Fibonacci/Knuth multiplicative);
+    strings fall back to a crc32 loop (only hit for string join keys)."""
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((v * _KNUTH) >> np.uint64(33)).astype(np.int64) % num_buckets
+    vals = arr.to_pylist()
+    return np.array([zlib.crc32(str(v).encode()) % num_buckets
+                     for v in vals], dtype=np.int64)
+
+
+def _pd_dtype(t: pa.DataType):
+    """Pandas dtype to restore a non-null column to its Arrow type."""
+    if pa.types.is_integer(t):
+        return t.to_pandas_dtype()
+    if pa.types.is_floating(t):
+        return t.to_pandas_dtype()
+    if pa.types.is_timestamp(t):
+        return "datetime64[us]"
+    return None
+
+
+def _empty_frame(cols: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
+    out = {}
+    for name, t in cols:
+        dt = _pd_dtype(t)
+        out[name] = pd.Series([], dtype=dt if dt is not None else object)
+    return pd.DataFrame(out)
+
+
+def _restore_dtypes(df: pd.DataFrame,
+                    cols: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
+    for name, t in cols:
+        dt = _pd_dtype(t)
+        if dt is not None and str(df[name].dtype) != str(dt):
+            df[name] = df[name].astype(dt)
+    return df
+
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str, ts_col: str = "ts",
               right_cols: list[str] | None = None,
               rsuffix: str = "_r",
-              tolerance_us: int | None = None) -> "ray.data.Dataset":
+              tolerance_us: int | None = None,
+              num_buckets: int = 64) -> "ray.data.Dataset":
     """INNER as-of join: each left row matches the right row with the
     greatest ``right.ts <= left.ts`` for the same ``key`` (DuckDB
-    ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts`` semantics; ties
-    on right ts must be pre-deduplicated by the caller for determinism).
-    ``tolerance_us`` optionally bounds the lookback window.
+    ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts`` semantics).
+    Ties on right (key, ts) are broken deterministically by keeping the
+    greatest ``right_cols`` tuple. ``tolerance_us`` optionally bounds
+    the lookback window.
 
     Output: every left column + ``<right_col><rsuffix>`` columns +
-    ``<ts_col><rsuffix>`` (the matched right timestamp).
+    ``<ts_col><rsuffix>`` (the matched right timestamp), with input
+    dtypes preserved, sorted by the left columns.
     """
     ls = left.schema()
     l_types = dict(zip(ls.names, ls.types))
@@ -45,7 +103,9 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     r_types = dict(zip(rs.names, rs.types))
     right_cols = right_cols or [c for c in rs.names
                                 if c not in (key, ts_col)]
-    out_r = [f"{c}{rsuffix}" for c in right_cols] + [f"{ts_col}{rsuffix}"]
+    out_spec = ([(c, l_types[c]) for c in left_cols]
+                + [(f"{c}{rsuffix}", r_types[c]) for c in right_cols]
+                + [(f"{ts_col}{rsuffix}", r_types[ts_col])])
 
     # one combined schema so the two sides union into one shuffle
     def tag_left(b: pa.Table) -> pa.Table:
@@ -54,7 +114,10 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         for c in right_cols:
             b = b.append_column(
                 f"_r_{c}", pa.nulls(b.num_rows, r_types[c]))
-        return b
+        return b.append_column(
+            "_b", pa.array(coarse_bucket_array(
+                b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
+                else b[key], num_buckets)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         out = {key: b[key], ts_col: b[ts_col],
@@ -64,46 +127,58 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 out[c] = pa.nulls(b.num_rows, l_types[c])
         for c in right_cols:
             out[f"_r_{c}"] = b[c]
-        order = left_cols + ["_side"] + [f"_r_{c}" for c in right_cols]
+        out["_b"] = pa.array(coarse_bucket_array(
+            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
+            else b[key], num_buckets))
+        order = (left_cols + ["_side"]
+                 + [f"_r_{c}" for c in right_cols] + ["_b"])
         return pa.table({c: out[c] for c in order})
 
     combined = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
+    tagged_r = [f"_r_{c}" for c in right_cols]
 
-    empty_cols = {c: pd.Series([], dtype=object)
-                  for c in left_cols + out_r}
-
-    def group_asof(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0]
         rg = g[g["_side"] == 1]
         if lg.empty or rg.empty:
-            return pd.DataFrame(empty_cols)
-        lg = lg.sort_values(ts_col)[left_cols]
-        rg = rg.sort_values(ts_col)
-        rsel = rg[[ts_col] + [f"_r_{c}" for c in right_cols]].rename(
+            return _empty_frame(out_spec)
+        # deterministic right tie-break: keep max right_cols per (key, ts)
+        rg = rg.sort_values([key, ts_col] + tagged_r, kind="mergesort")
+        rg = rg.drop_duplicates([key, ts_col], keep="last")
+        rsel = rg[[key, ts_col] + tagged_r].rename(
             columns={f"_r_{c}": f"{c}{rsuffix}" for c in right_cols})
         rsel[f"{ts_col}{rsuffix}"] = rsel[ts_col]
+        # merge_asof(by=key): both frames sorted by ts only; every key in
+        # the bucket is matched in one C-level pass
+        lg = lg[left_cols].sort_values(ts_col, kind="mergesort")
+        rsel = rsel.sort_values(ts_col, kind="mergesort")
         tol = pd.Timedelta(microseconds=tolerance_us) \
             if tolerance_us is not None else None
-        out = pd.merge_asof(lg, rsel, on=ts_col, direction="backward",
-                            tolerance=tol)
-        return out.dropna(subset=[f"{ts_col}{rsuffix}"])
+        out = pd.merge_asof(lg, rsel, on=ts_col, by=key,
+                            direction="backward", tolerance=tol)
+        out = out.dropna(subset=[f"{ts_col}{rsuffix}"])
+        out = _restore_dtypes(out, out_spec)
+        return out.sort_values(left_cols, kind="mergesort") \
+                  .reset_index(drop=True)
 
-    return combined.groupby(key).map_groups(group_asof,
-                                            batch_format="pandas")
+    return combined.groupby("_b").map_groups(bucket_asof,
+                                             batch_format="pandas")
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                key: str, ts_col: str = "ts",
                start_col: str = "t_start", end_col: str = "t_end",
                right_cols: list[str] | None = None,
-               rsuffix: str = "_r") -> "ray.data.Dataset":
+               rsuffix: str = "_r",
+               num_buckets: int = 64) -> "ray.data.Dataset":
     """INNER interval-containment join: left rows match the right
     interval with ``start <= left.ts <= end`` for the same ``key``.
     ASSUMPTION (documented per §2 custom-operator contract): intervals
     are NON-OVERLAPPING per key (e.g. session windows) — each left row
-    matches at most one interval, located by one searchsorted per group.
-    Same co-partitioning shape as asof_join: one groupby(key) shuffle.
+    matches at most one interval, located by one backward
+    ``merge_asof(by=key)`` on the interval start then bounds-checked
+    against the end. Same coarse-bucket co-partitioning as asof_join.
     """
     ls = left.schema()
     l_types = dict(zip(ls.names, ls.types))
@@ -112,6 +187,8 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     r_types = dict(zip(rs.names, rs.types))
     right_cols = right_cols or [c for c in rs.names
                                 if c not in (key, start_col, end_col)]
+    out_spec = ([(c, l_types[c]) for c in left_cols]
+                + [(f"{c}{rsuffix}", r_types[c]) for c in right_cols])
 
     def tag_left(b: pa.Table) -> pa.Table:
         b = b.append_column("_side", pa.array(
@@ -121,8 +198,12 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                                     r_types[c]))
         b = b.append_column("_r_start", pa.nulls(b.num_rows,
                                                  r_types[start_col]))
-        return b.append_column("_r_end", pa.nulls(b.num_rows,
-                                                  r_types[end_col]))
+        b = b.append_column("_r_end", pa.nulls(b.num_rows,
+                                               r_types[end_col]))
+        return b.append_column(
+            "_b", pa.array(coarse_bucket_array(
+                b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
+                else b[key], num_buckets)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         out = {key: b[key], "_side": pa.array(
@@ -134,31 +215,33 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"_r_{c}"] = b[c]
         out["_r_start"] = b[start_col]
         out["_r_end"] = b[end_col]
+        out["_b"] = pa.array(coarse_bucket_array(
+            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
+            else b[key], num_buckets))
         order = (left_cols + ["_side"] + [f"_r_{c}" for c in right_cols]
-                 + ["_r_start", "_r_end"])
+                 + ["_r_start", "_r_end", "_b"])
         return pa.table({c: out[c] for c in order})
 
     combined = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
-    out_r = [f"{c}{rsuffix}" for c in right_cols]
-    empty_cols = {c: pd.Series([], dtype=object)
-                  for c in left_cols + out_r}
+    tagged_r = [f"_r_{c}" for c in right_cols]
 
-    def group_range(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_range(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0]
-        rg = g[g["_side"] == 1].sort_values("_r_start")
+        rg = g[g["_side"] == 1]
         if lg.empty or rg.empty:
-            return pd.DataFrame(empty_cols)
-        starts = rg["_r_start"].to_numpy()
-        ends = rg["_r_end"].to_numpy()
-        ts = lg[ts_col].to_numpy()
-        idx = np.searchsorted(starts, ts, side="right") - 1
-        ok = (idx >= 0) & (ts <= ends[np.clip(idx, 0, None)])
-        out = lg.loc[ok, left_cols].reset_index(drop=True)
-        sel = rg.iloc[idx[ok]]
-        for c in right_cols:
-            out[f"{c}{rsuffix}"] = sel[f"_r_{c}"].to_numpy()
-        return out
+            return _empty_frame(out_spec)
+        rsel = rg[[key, "_r_start", "_r_end"] + tagged_r] \
+            .sort_values("_r_start", kind="mergesort")
+        lg = lg[left_cols].sort_values(ts_col, kind="mergesort")
+        out = pd.merge_asof(lg, rsel, left_on=ts_col, right_on="_r_start",
+                            by=key, direction="backward")
+        out = out[out[ts_col] <= out["_r_end"]]
+        out = out.drop(columns=["_r_start", "_r_end"]).rename(
+            columns={f"_r_{c}": f"{c}{rsuffix}" for c in right_cols})
+        out = _restore_dtypes(out, out_spec)
+        return out.sort_values(left_cols, kind="mergesort") \
+                  .reset_index(drop=True)
 
-    return combined.groupby(key).map_groups(group_range,
-                                            batch_format="pandas")
+    return combined.groupby("_b").map_groups(bucket_range,
+                                             batch_format="pandas")

@@ -61,23 +61,32 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
         items = np.asarray(vc[col].to_pylist(), dtype=object)
         counts = np.asarray(vc["count_all"].to_pylist(), dtype=np.int64)
         items, counts = _mg_compress(items, counts, k)
-        return pa.table({col: pa.array(list(items)),
-                         "mg_count": pa.array(counts, pa.int64()),
+        # the block total travels on its OWN sentinel row (_is_total) so
+        # n_total survives even when compress zeroes out every counter —
+        # piggybacking it on item rows undercounted n_total whenever a
+        # block's sketch came back empty (uniform-tail data), silently
+        # lowering the threshold and breaking the EXACT guarantee
+        return pa.table({col: pa.array(list(items) + [None]),
+                         "mg_count": pa.array(list(counts) + [0],
+                                              pa.int64()),
                          "rows_seen": pa.array(
-                             [b.num_rows] + [0] * (len(items) - 1)
-                             if len(items) else [], pa.int64())})
+                             [0] * len(items) + [b.num_rows], pa.int64()),
+                         "_is_total": pa.array(
+                             [False] * len(items) + [True])})
 
     def merge_sketch(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        g = df.groupby(col, as_index=False).agg(
-            mg_count=("mg_count", "sum"), rows_seen=("rows_seen", "sum"))
+        total = int(df.loc[df["_is_total"], "rows_seen"].sum())
+        d = df[~df["_is_total"]]
+        g = d.groupby(col, as_index=False, dropna=False).agg(
+            mg_count=("mg_count", "sum"))
         items, counts = _mg_compress(
             g[col].to_numpy(dtype=object), g["mg_count"].to_numpy(), k)
         kept = pd.DataFrame({col: items, "mg_count": counts})
         kept["rows_seen"] = 0
-        if len(kept):
-            kept.loc[kept.index[0], "rows_seen"] = g["rows_seen"].sum()
+        kept["_is_total"] = False
+        kept.loc[len(kept)] = [None, 0, total, True]
         return kept
 
     sketches = ds.map_batches(partial_sketch, batch_format="pyarrow",
@@ -88,8 +97,8 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
     root = lvl.repartition(1).map_batches(merge_sketch,
                                           batch_format="pandas",
                                           batch_size=None).to_pandas()
-    n_total = int(root["rows_seen"].sum())
-    candidates = set(root[col])
+    n_total = int(root.loc[root["_is_total"], "rows_seen"].sum())
+    candidates = set(root.loc[~root["_is_total"], col])
     if not candidates:
         return pd.DataFrame({col: pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64)})

@@ -5,48 +5,66 @@ the table as an ordered, partitioned log, partition by key, order by ts
 inside ``map_groups``, and window with vectorized pandas.
 
 Partitioning assumption (documented per SURVEY.md §2.x contract): all
-rows of one key land in one group; order within the group is established
-by sorting on ``ts`` inside the group fn — arrival order is NOT assumed.
-Hot keys: a session computation is per-key sequential by nature; a key
-whose rows exceed one task's memory would need chunked sessionization
-(carry last-event watermark between chunks).
+rows of one key land in one group. Grouping is by a COARSE bucket
+``hash(key) % num_buckets`` (Ray's per-group dispatch is Python-priced,
+so group count — not key cardinality — is the cost driver; same pattern
+as ops/dedup.py and ops/joins.py); inside a bucket every key is
+sessionized in one vectorized pandas pass over the (key, ts)-sorted
+frame. Hot keys: a key whose rows exceed one task's memory would need
+chunked sessionization (carry last-event watermark between chunks).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
 
 def sessionize(ds: "ray.data.Dataset", key: str = "user_id",
                ts_col: str = "ts", gap_minutes: float = 30.0,
-               value_col: str | None = "value") -> "ray.data.Dataset":
+               value_col: str | None = "value",
+               num_buckets: int = 64) -> "ray.data.Dataset":
     """Session windows: a new session starts when the gap since the
     previous event of the same key exceeds ``gap_minutes``. Returns one
-    row per (key, session) with n_events, start/end, optional sum."""
+    row per (key, session) with n_events, start/end, optional sum;
+    session_id is the 0-based per-key ordinal in time order."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        new_session = g[ts_col].diff().gt(gap) | g[ts_col].diff().isna()
-        sid = new_session.cumsum().astype(np.int64) - 1
-        gg = g.groupby(sid)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from .joins import coarse_bucket_array
+        arr = b[key].combine_chunks() if isinstance(
+            b[key], pa.ChunkedArray) else b[key]
+        return b.append_column(
+            "_b", pa.array(coarse_bucket_array(arr, num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one sort + one cumsum sessionizes EVERY key in the bucket:
+        # a session break is a key change or a gap > threshold
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        new_key = g[key].ne(g[key].shift())
+        brk = new_key | g[ts_col].diff().gt(gap)
+        blk = brk.cumsum()  # globally increasing session block id
+        gg = g.groupby(blk.values, sort=True)
         out = pd.DataFrame({
-            key: g[key].iloc[0],
-            "session_id": gg[ts_col].first().index.astype(np.int64),
+            key: gg[key].first(),
             "n_events": gg.size(),
             "t_start": gg[ts_col].min(),
             "t_end": gg[ts_col].max(),
         })
+        # per-key 0-based ordinal: blocks are emitted in (key, ts) order
+        out.insert(1, "session_id",
+                   out.groupby(key, sort=False).cumcount().astype(np.int64))
         if value_col and value_col in g.columns:
             out["sum_value_cents"] = (
                 (g[value_col] * 100).round().astype("int64")
-                .groupby(sid).sum())
+                .groupby(blk.values).sum())
         return out.reset_index(drop=True)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("_b").map_groups(per_bucket, batch_format="pandas")
 
 
 def tumbling(ds: "ray.data.Dataset", key: str, ts_col: str = "ts",
