@@ -36,16 +36,20 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup_keep_first(ds: "ray.data.Dataset", text_col: str = "text",
-                           id_col: str = "doc_id") -> "ray.data.Dataset":
+                           id_col: str = "doc_id",
+                           num_partitions: int = 64) -> "ray.data.Dataset":
     """One representative (min id) per distinct content. The merge moves
-    only (digest, id) partials — per-block min first, then tree merge —
-    so document bodies never shuffle. Returns (content_md5, doc_id)."""
+    only (digest, id) partials — per-block min first, then a
+    HASH-PARTITIONED merge (digest space is unbounded: a single root
+    task would hold every distinct digest at corpus scale) — so
+    document bodies never shuffle. Returns (content_md5, doc_id)."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
     partials = hashed.select_columns(["content_md5", id_col]).map_batches(
         lambda b: b.groupby("content_md5", as_index=False)[id_col].min(),
         batch_format="pandas", batch_size=65536)
-    return tree_merge(partials, ["content_md5"], {id_col: "min"})
+    return tree_merge(partials, ["content_md5"], {id_col: "min"},
+                      partition_by_key=num_partitions)
 
 
 # -------------------------------------------------------------- minhash
@@ -206,7 +210,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     pairs = banded.groupby("coarse").map_groups(
         coarse_pairs, batch_format="pandas")
     # dedup pairs found in multiple bands (tree merge over tiny pair set)
-    return tree_merge(pairs, ["id_a", "id_b"], {"est_jaccard": "min"})
+    return tree_merge(pairs, ["id_a", "id_b"], {"est_jaccard": "min"},
+                      partition_by_key=64)
 
 
 # -------------------------------------------------------------- simhash
@@ -289,7 +294,8 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     pairs = (hashed.map_batches(explode, batch_format="pyarrow")
              .groupby("coarse")
              .map_groups(coarse_pairs, batch_format="pandas"))
-    return tree_merge(pairs, ["id_a", "id_b"], {"hamming": "min"})
+    return tree_merge(pairs, ["id_a", "id_b"], {"hamming": "min"},
+                      partition_by_key=64)
 
 
 # -------------------------------------------- exact n-gram Jaccard verify
@@ -375,4 +381,5 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
              .groupby("coarse")
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several tables: dedup via tree merge
-    return tree_merge(pairs, ["id_a", "id_b"], {"cosine": "min"})
+    return tree_merge(pairs, ["id_a", "id_b"], {"cosine": "min"},
+                      partition_by_key=64)

@@ -28,27 +28,13 @@ carries nulls, which pandas would otherwise promote int64 -> float64).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-_KNUTH = np.uint64(0x9E3779B97F4A7C15)
-
-
-def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
-    """Deterministic ``hash(key) % num_buckets`` over an Arrow array.
-    Integer keys hash vectorized (Fibonacci/Knuth multiplicative);
-    strings fall back to a crc32 loop (only hit for string join keys)."""
-    if pa.types.is_integer(arr.type):
-        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-        return ((v * _KNUTH) >> np.uint64(33)).astype(np.int64) % num_buckets
-    vals = arr.to_pylist()
-    return np.array([zlib.crc32(str(v).encode()) % num_buckets
-                     for v in vals], dtype=np.int64)
+from ..stages.aggregate import coarse_bucket_array  # noqa: F401  (re-export)
 
 
 def _pd_dtype(t: pa.DataType):

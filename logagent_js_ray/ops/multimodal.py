@@ -59,17 +59,23 @@ class DecodeImage:
 
     FEATURE_DIM = 32
 
-    def __init__(self, target_size: tuple[int, int] = (64, 64)):
+    def __init__(self, target_size: tuple[int, int] = (64, 64),
+                 use_real_decoder: bool = False):
         self.target = target_size
-        try:  # pragma: no cover - not installed in this environment
-            from PIL import Image  # noqa: F401
-            self.real = True
-        except ImportError:
-            self.real = False  # STUB path: deterministic fake features
+        self.real = False
+        if use_real_decoder:  # explicit opt-in: presence of PIL alone
+            # must never turn the working stub into a crash
+            try:  # pragma: no cover - not installed in this environment
+                from PIL import Image  # noqa: F401
+                self.real = True
+            except ImportError:
+                pass
 
     def _decode_impl(self, payload: bytes) -> np.ndarray:
         if self.real:  # pragma: no cover
-            raise NotImplementedError("real decode not exercised in sandbox")
+            raise NotImplementedError(
+                "real decode kernel not implemented in this sandbox; "
+                "construct with use_real_decoder=False (the default)")
         digest = hashlib.sha256(payload).digest()
         seed = int.from_bytes(digest[:8], "little")
         rng = np.random.default_rng(seed)
@@ -99,17 +105,24 @@ class ExtractAudioFeatures:
     N_MELS = 16
     N_FRAMES = 8
 
-    def __init__(self, sample_rate: int = 16000):
+    def __init__(self, sample_rate: int = 16000,
+                 use_real_decoder: bool = False):
         self.sample_rate = sample_rate
-        try:  # pragma: no cover - not installed in this environment
-            import librosa  # noqa: F401
-            self.real = True
-        except ImportError:
-            self.real = False
+        self.real = False
+        if use_real_decoder:  # explicit opt-in, same rationale as
+            # DecodeImage: importability of librosa must not flip a
+            # working stage into a runtime crash
+            try:  # pragma: no cover - not installed in this environment
+                import librosa  # noqa: F401
+                self.real = True
+            except ImportError:
+                pass
 
     def _features(self, payload: bytes) -> np.ndarray:
         if self.real:  # pragma: no cover
-            raise NotImplementedError("real audio decode not in sandbox")
+            raise NotImplementedError(
+                "real audio kernel not implemented in this sandbox; "
+                "construct with use_real_decoder=False (the default)")
         digest = hashlib.sha256(b"audio:" + payload).digest()
         rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
         return rng.standard_normal(

@@ -30,11 +30,30 @@ root task can hold (then partition by key hash first).
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
+    """Deterministic ``hash(key) % num_buckets`` over an Arrow array.
+    Integer keys hash vectorized (Fibonacci/Knuth multiplicative);
+    strings fall back to a crc32 loop. Shared by the coarse-group
+    pattern everywhere (ops/joins, ops/windows, partitioned
+    tree_merge): group on the bucket, segment exact keys inside."""
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((v * _KNUTH) >> np.uint64(33)).astype(np.int64) % num_buckets
+    vals = arr.to_pylist()
+    return np.array([zlib.crc32(str(v).encode()) % num_buckets
+                     for v in vals], dtype=np.int64)
 
 
 def add_time_bucket(batch: pa.Table, ts_col: str = "@timestamp",
@@ -92,11 +111,37 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
 
 
 def tree_merge(partials: "ray.data.Dataset", keys: list[str],
-               spec: dict[str, str], fanout: int = 8) -> "ray.data.Dataset":
-    """Associative fan-in merge of per-block partial aggregates: one
-    intermediate combine level (``fanout`` partitions), then a root
-    merge. Every task sees at most (keys x fanout-share) rows."""
+               spec: dict[str, str], fanout: int = 8,
+               partition_by_key: int | None = None) -> "ray.data.Dataset":
+    """Associative fan-in merge of per-block partial aggregates.
+
+    Default (bounded key space — e.g. the flagship's (sink, role, tool,
+    hour) cube): one intermediate combine level (``fanout``
+    partitions), then a root merge; every task sees at most
+    (keys x fanout-share) rows.
+
+    ``partition_by_key=P`` (UNBOUNDED key space — content digests,
+    fingerprints, conv ids): partials are hash-partitioned on the
+    first key into P groups and merged per partition, so no single
+    task ever holds every distinct key — the ``repartition(1)`` root
+    of the default shape would funnel the whole key space through one
+    process. Output arrives as P merged blocks (same rows, no global
+    root)."""
     merge = _merge_fn(keys, spec)
+    if partition_by_key:
+        pcol = f"_p_{keys[0]}"
+
+        def add_p(b: pa.Table) -> pa.Table:
+            arr = b[keys[0]].combine_chunks() if isinstance(
+                b[keys[0]], pa.ChunkedArray) else b[keys[0]]
+            return b.append_column(
+                pcol, pa.array(coarse_bucket_array(arr, partition_by_key)))
+
+        def merge_drop_p(df: pd.DataFrame) -> pd.DataFrame:
+            return merge(df.drop(columns=[pcol]))
+
+        return partials.map_batches(add_p, batch_format="pyarrow") \
+            .groupby(pcol).map_groups(merge_drop_p, batch_format="pandas")
     lvl = partials.repartition(fanout).map_batches(
         merge, batch_format="pandas", batch_size=None)
     return lvl.repartition(1).map_batches(

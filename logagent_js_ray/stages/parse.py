@@ -48,6 +48,27 @@ def _strptime(arr: pa.Array, fmt: str) -> pa.Array:
     return pc.strptime(arr, options=opts)
 
 
+def _apply_utc_offset(naive: pa.Array, ts_str: pa.Array) -> pa.Array:
+    """Normalize a naive timestamp parsed from a string with a trailing
+    numeric UTC offset (``+05:30``/``-0800``) to UTC, vectorized: the
+    offset is extracted with ``pc.extract_regex`` and SUBTRACTED (local
+    = UTC + offset). Strings without an offset (or with Z/+0000) adjust
+    by 0. The reference normalizes zones via date-fns
+    (/root/reference/lib/parser/parser.js:236-263); silently treating
+    +05:30 as UTC would be hours wrong."""
+    off = pc.extract_regex(
+        ts_str, r"(?P<sign>[+-])(?P<oh>\d{2}):?(?P<om>\d{2})$")
+    oh = pc.cast(pc.struct_field(off, "oh"), pa.int64())
+    om = pc.cast(pc.struct_field(off, "om"), pa.int64())
+    secs = pc.add(pc.multiply(oh, 3600), pc.multiply(om, 60))
+    secs = pc.if_else(pc.equal(pc.struct_field(off, "sign"), "-"),
+                      pc.negate_checked(secs), secs)
+    us = pc.coalesce(pc.multiply(secs, 1_000_000),
+                     pa.scalar(0, pa.int64()))
+    return pc.cast(pc.subtract(pc.cast(naive, pa.int64()), us),
+                   pa.timestamp("us"))
+
+
 def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
     """ts capture string -> timestamp[us]; unparseable -> null (caller
     coalesces to the row ts — the deterministic stand-in for the
@@ -69,10 +90,11 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
         return _strptime(s, _STRPTIME_CLF)
     if dateformat == "java":
         s = pc.replace_substring_regex(
-            ts_str, r"[,.]\d+([+-]\d{2}:?\d{2}|Z)?$", "")
+            ts_str, r"([,.]\d+)?([+-]\d{2}:?\d{2}|Z)?$", "")
         s = pc.replace_substring_regex(
             s, r"^(\d{4}-\d{2}-\d{2})T", r"\1 ")  # ES logs use a T sep
-        return _strptime(s, "%Y-%m-%d %H:%M:%S")
+        return _apply_utc_offset(_strptime(s, "%Y-%m-%d %H:%M:%S"),
+                                 ts_str)
     if dateformat == "slash":
         return _strptime(ts_str, "%Y/%m/%d %H:%M:%S")
     if dateformat == "dotted":
@@ -84,9 +106,10 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
     if dateformat == "none":
         return pa.nulls(len(ts_str), pa.timestamp("us"))
     # iso: accept trailing Z / fractional seconds / numeric offsets
+    # (offsets are APPLIED, not discarded — see _apply_utc_offset)
     s = pc.replace_substring_regex(ts_str,
                                    r"(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$", "")
-    return _strptime(s, _STRPTIME_ISO)
+    return _apply_utc_offset(_strptime(s, _STRPTIME_ISO), ts_str)
 
 
 class _Acc:

@@ -124,3 +124,31 @@ def test_oracle_agreement_on_mixed_batch():
         for k in ("client_ip", "status_code", "size", "user_email",
                   "facility", "counter", "service"):
             assert g.get(k) == ev.get(k), (k, row["text"])
+
+
+def test_numeric_utc_offsets_applied():
+    """+05:30 / -0800 offsets normalize to UTC instead of being
+    silently dropped (reference: date-fns zone handling,
+    parser.js:236-263)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from logagent_js_ray.stages.parse import _parse_dates
+
+    iso = _parse_dates(pa.array([
+        "2024-01-02T03:04:05+05:30",
+        "2024-01-02T03:04:05.123-0800",
+        "2024-01-02T03:04:05Z",
+        "2024-01-02T03:04:05+00:00",
+    ]), None).to_pylist()
+    assert iso[0] == dt.datetime(2024, 1, 1, 21, 34, 5)
+    assert iso[1] == dt.datetime(2024, 1, 2, 11, 4, 5)
+    assert iso[2] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert iso[3] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    java = _parse_dates(pa.array([
+        "2024-01-02 03:04:05,980",
+        "2024-01-02 03:04:05+0100",
+    ]), "java").to_pylist()
+    assert java[0] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert java[1] == dt.datetime(2024, 1, 2, 2, 4, 5)
