@@ -81,6 +81,7 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
       slash      yyyy/MM/dd HH:mm:ss            (nginx error, nsq)
       dotted     yyyy.MM.dd HH:mm:ss.SSS        (clickhouse)
       apache_err Day Mon dd HH:mm:ss yyyy       (apache error log)
+      us_text    Mon dd, yyyy h:mm:ss AM        (java.util.logging)
       none       no deterministic parse (year-less formats like redis's
                  'dd MMM HH:mm:ss' — always falls back to the row ts)
       iso        default; trailing Z / frac / ±ZZZZ offsets trimmed
@@ -90,7 +91,7 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
         return _strptime(s, _STRPTIME_CLF)
     if dateformat == "java":
         s = pc.replace_substring_regex(
-            ts_str, r"([,.]\d+)?([+-]\d{2}:?\d{2}|Z)?$", "")
+            ts_str, r"([,.]\d+)?\s?([+-]\d{2}:?\d{2}|Z)?$", "")
         s = pc.replace_substring_regex(
             s, r"^(\d{4}-\d{2}-\d{2})T", r"\1 ")  # ES logs use a T sep
         return _apply_utc_offset(_strptime(s, "%Y-%m-%d %H:%M:%S"),
@@ -103,6 +104,10 @@ def _parse_dates(ts_str: pa.Array, dateformat: str | None) -> pa.Array:
     if dateformat == "apache_err":
         s = pc.replace_substring_regex(ts_str, r"\.\d+", "")
         return _strptime(s, "%a %b %d %H:%M:%S %Y")
+    if dateformat == "us_text":
+        # java.util.logging SimpleFormatter: 'Jul 22, 2015 1:58:28 PM'
+        # (reference dateFormat 'MMM dd, yyyy H:mm:ss', patterns.yml:652)
+        return _strptime(ts_str, "%b %d, %Y %I:%M:%S %p")
     if dateformat == "none":
         return pa.nulls(len(ts_str), pa.timestamp("us"))
     # iso: accept trailing Z / fractional seconds / numeric offsets

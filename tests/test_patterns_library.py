@@ -57,9 +57,13 @@ CASES = [
      {"severity": "INFO", "message": "[Controller id=1] processing"}),
     ("hdfs",
      "2024-01-05 10:00:00,123 INFO org.apache.hadoop.hdfs.DataNode: recv",
-     "apache_hadoop",
+     "apache_hdfs_data_node",
      {"severity": "INFO", "class_name": "org.apache.hadoop.hdfs.DataNode:"
       .rstrip(":"), "message": "recv"}),
+    ("yarn",
+     "2024-01-05 10:00:00,123 INFO org.apache.hadoop.yarn.NodeManager: up",
+     "apache_hadoop_yarn_node_manager",
+     {"severity": "INFO", "message": "up"}),
     ("hbase",
      "2024-01-05 10:00:00,123 INFO [RS:0;h:16020] "
      "o.a.h.hbase.HRegionServer: started",
@@ -105,12 +109,19 @@ CASES = [
      "2024/01/05 10:00:00 INF 1 [nsqd] TCP: listening",
      "nsq", {"level": "INF", "module": "nsqd",
              "message": "TCP: listening"}),
-    ("nginx",
+    ("traefik",
      '10.0.0.1 - u1 [05/Jan/2024:10:00:00 +0000] "GET /p HTTP/1.1" 200 '
      '123 "http://r" "curl/8" 5 "front" "http://back:80" 12ms',
      "traefik_access_log",
      {"status_code": 200.0, "size": 123.0, "response_time": 12.0,
       "user_agent": "curl/8", "message": "GET /p"}),
+    ("httpd",
+     'nginx-proxy web.example.com 10.0.0.9 [05/Jan/2024:10:00:00 +0000] '
+     '"GET /i HTTP/1.1" 200 512 "http://example.com/i" "curl/8"',
+     "access_common",
+     {"proxy_service": "nginx-proxy", "virtual_host": "web.example.com",
+      "client_ip": "10.0.0.9", "status_code": 200.0, "size": 512.0,
+      "url": "http://example.com/i", "user_agent": "curl/8"}),
     ("nginx",
      '10.0.0.1 - - [05/Jan/2024:10:00:00 +0000] "GET /x HTTP/1.1" 200 5 '
      '"-" "Mozilla"',

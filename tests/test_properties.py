@@ -112,13 +112,13 @@ def test_multiline_block_count(starts):
     """Merged block count == number of blockStart lines (plus one if the
     group begins mid-block, multiLine.js:53-71 semantics)."""
     import pandas as pd
-    from logagent_js_ray.stages.multiline import merge_group
+    from logagent_js_ray.stages.multiline import merge_bucket
     lines = [("START line %d" % i) if s else ("  cont %d" % i)
              for i, s in enumerate(starts)]
     g = pd.DataFrame({"conv_id": ["c"] * len(lines),
                       "turn_idx": range(len(lines)),
                       "text": lines})
-    out = merge_group(g, re.compile(r"^START"), "text", "turn_idx")
+    out = merge_bucket(g, r"^START", "conv_id", "text", "turn_idx")
     expected = sum(starts) + (0 if starts[0] else 1)
     assert len(out) == expected
     # every input line survives in exactly one block
