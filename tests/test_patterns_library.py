@@ -51,6 +51,75 @@ CASES = [
      "params={q=*:*} hits=42 status=0 QTime=3",
      "apache_solr_7_8_hits",
      {"hits": 42.0, "status": 0.0, "qtime": 3.0, "path": "/select"}),
+    ("hyperkube",
+     "I0105 10:00:00.123456 12345 wrap.go:42 GET /api/v1/nodes: (2.271ms) "
+     "200 [[hyperkube/v1.8.0 (linux/amd64) kubernetes/abc] 10.0.0.1:52310]",
+     "hyperkube",
+     {"method": "GET", "url": "/api/v1/nodes", "status_code": 200.0,
+      "duration": "2.271", "duration_unit": "ms", "port": 52310.0}),
+    ("elasticsearch",
+     "[2024-01-05T10:00:00,123][WARN ][index.search.slowlog.query] "
+     "[node-1] [myidx][2] took[5ms], took_millis[5], types[doc], stats[], "
+     'search_type[QUERY_THEN_FETCH], total_shards[5], source[{"q":1}],',
+     "elasticsearch_slow_log",
+     {"severity": "WARN", "node_name": "node-1", "index_name": "myidx",
+      "shard_number": 2.0, "took_millis": 5.0, "total_shards": 5.0,
+      "search_type": "QUERY_THEN_FETCH"}),
+    ("solr",
+     "2024-01-05 10:00:00.123 INFO  (qtp1-12) [collection1] "
+     "o.a.s.c.S.Request [shard1]  webapp=/solr path=/select "
+     "params={q=*:*} status=0 QTime=3",
+     "apache_solr_7_8",
+     {"status": 0.0, "qtime": 3.0, "shard": "shard1", "path": "/select"}),
+    ("solr",
+     "2024-01-05 10:00:00.123 INFO  (qtp1-12) [c1] o.a.s.s.SolrLog "
+     'type="REJECTED" message="Unauthorized request" method="GET" '
+     'status="401" requestType="ADMIN" username="bob" resource="/admin" '
+     'queryString="q=1" collections=[c1]',
+     "apache_solr_audit_log",
+     {"status": 401.0, "username": "bob", "audit_type": "REJECTED",
+      "message": "Unauthorized request"}),
+    ("solr",
+     "2024-01-05 10:00:00.123 WARN  (main) [c1] o.a.s.SolrCore slow commit",
+     "apache_solr_7_8_generic",
+     {"severity": "WARN", "thread": "main", "core": "c1",
+      "message": "slow commit"}),
+    ("solr",
+     "INFO  - 2024-01-05 10:00:00.123; org.apache.solr.core.SolrCore; "
+     "[collection1] webapp=/solr path=/select params={q=foo} hits=7 "
+     "status=0 QTime=2",
+     "apache_solr_v4.6",
+     {"hits": 7.0, "status": 0.0, "qtime": 2.0,
+      "application": "collection1"}),
+    ("solr",
+     "INFO  - 2024-01-05 10:00:00.123; [ collection1] "
+     "org.apache.solr.core.SolrCore; webapp=/solr path=/select "
+     "params={q=x} hits=3 status=0 QTime=1",
+     "apache_solr",
+     {"hits": 3.0, "application": "collection1",
+      "class": "org.apache.solr.core.SolrCore"}),
+    ("solr",
+     "12345 [qtp1-11] INFO org.apache.solr.core.SolrCore "
+     "[collection1 shard1 core1 replica1] x:core_node1 [c1] webapp=/solr "
+     "path=/select params={q=y} status=0 QTime=4",
+     "apache_solr_v5_1",
+     {"status": 0.0, "qtime": 4.0, "core_name": "c1",
+      "collection": "collection1"}),
+    ("solr",
+     "ERROR - 2024-01-05 10:00:00.123; org.apache.solr.common.SolrException; "
+     "java.lang.NullPointerException: boom",
+     "apache_solr",
+     {"severity": "ERROR",
+      "message": "java.lang.NullPointerException: boom"}),
+    ("solr",
+     "WARN  - 2024-01-05 10:00:00.123; no class here",
+     "apache_solr_5_generic",
+     {"severity": "WARN", "message": "no class here"}),
+    ("solr",
+     "987 INFO (qtp1-8) [x:collection1] o.a.s.c.SolrCore config loaded",
+     "apache_solr4",
+     {"severity": "INFO", "thread": "qtp1-8", "thread_id": "x:collection1",
+      "message": "config loaded"}),
     ("kafka",
      "[2024-01-05 10:00:00,123] INFO [Controller id=1] processing",
      "apache_kafka",
@@ -69,6 +138,20 @@ CASES = [
      "o.a.h.hbase.HRegionServer: started",
      "apache_hbase_region_server",
      {"thread": "RS:0;h:16020", "message": "started"}),
+    ("zookeeper",
+     "2024-01-05 10:00:00,123 [myid:2] - INFO "
+     "[NIOServerCxn.Factory:0.0.0.0/0.0.0.0:2181:NIOServerCnxn@1007] - "
+     "Closed socket connection for client /10.0.0.5:51234 which had "
+     "sessionid 0x14f8054fbbb0004",
+     "apache_zookeeper",
+     {"client_ip": "10.0.0.5", "client_port": 51234.0,
+      "session_id": "0x14f8054fbbb0004"}),
+    ("zookeeper",
+     "2024-01-05 10:00:00,123 [myid:2] - INFO "
+     "[NIOServerCxn.Factory:0.0.0.0/0.0.0.0:2181:NIOServerCnxnFactory@197]"
+     " - Accepted socket connection from /10.0.0.6:40123",
+     "apache_zookeeper",
+     {"client_ip": "10.0.0.6", "client_port": 40123.0}),
     ("zookeeper",
      "2024-01-05 10:00:00,123 [myid:1] - INFO [main:QuorumPeer@123] - "
      "Starting quorum peer",
@@ -140,9 +223,58 @@ CASES = [
     ("flink",
      "2024-01-05 10:00:00,123 INFO org.apache.flink.JobManager - Starting",
      "flink_manager", {"severity": "INFO", "message": "Starting"}),
+    ("flink",
+     "Jul 22, 2015 1:58:28 PM org.apache.flink.JobManager main "
+     "INFO: Starting JobManager",
+     "flink_manager",
+     {"severity": "INFO", "message": "Starting JobManager"}),
+    ("apache2",
+     "[Wed Jan 05 10:00:00.123456 2024] [mpm_prefork:notice] [pid 123] "
+     "AH00163: Apache configured",
+     "apache_mpm",
+     {"event_type": "mpm_prefork:notice", "process_info": "pid 123",
+      "message": "AH00163: Apache configured"}),
     ("tutum/cleanup",
      "2024/01/05 10:00:00 removing exited container",
      "tutum_cleanup", {"message": "removing exited container"}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [info] <0.33.0>\n"
+     " Starting RabbitMQ 3.7.8 on Erlang 21.0\n"
+     " Copyright (c) 2007-2018 Pivotal Software, Inc.\n"
+     " Licensed under the MPL 1.1. See https://rabbitmq.com",
+     "rabbitmq_startup",
+     {"severity": "info", "rabbitmq_version": "3.7.8",
+      "erlang_version": "21.0", "license": "MPL 1.1"}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [info] <0.33.0> WAL: recovering "
+     '["/var/lib/rabbitmq/quorum/wal"]',
+     "rabbitmq_wal_recovery",
+     {"wal_path": '"/var/lib/rabbitmq/quorum/wal"'}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [error] <0.99.0> HTTP access denied: "
+     "user 'guest' - invalid credentials",
+     "rabbitmq_access_denied",
+     {"user": "guest", "reason": "invalid credentials"}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [error] <0.100.0> Error on AMQP connection "
+     "<0.101.0> (10.0.0.1:49152 -> 10.0.0.2:5672, state: starting):\n"
+     "PLAIN login refused: user 'bob' - invalid credentials",
+     "rabbitmq_login_refused",
+     {"auth_method": "PLAIN", "user": "bob", "source_port": 49152.0,
+      "state": "starting", "reason": "invalid credentials"}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [info] <0.105.0> connection <0.106.0> "
+     "(10.0.0.1:49153 -> 10.0.0.2:5672): user 'alice' authenticated and "
+     "granted access to vhost '/prod'",
+     "rabbitmq_connections_authenticated",
+     {"user": "alice", "vhost": "/prod", "source_port": 49153.0}),
+    ("rabbitmq",
+     "2024-01-05 10:00:00.123 [info] <0.107.0> closing AMQP connection "
+     "<0.108.0> (10.0.0.3:49200 -> 10.0.0.2:5672, vhost: '/', "
+     "user: 'carol'):",
+     "rabbitmq_connections_vhost_user",
+     {"connection_event": "closing", "vhost": "/", "user": "carol",
+      "destination_port": 5672.0}),
     ("rabbitmq",
      "2024-01-05 10:00:00.123 [info] <0.123.0> accepting AMQP connection "
      "<0.124.0> (10.0.0.1:5672 -> 10.0.0.2:5672)",
@@ -159,10 +291,23 @@ CASES = [
      {"pg_user": "alice", "database": "appdb", "duration_ms": 1001.0,
       "statement": "SELECT 1"}),
     ("postgres",
+     '2024-01-05 10:00:00.123 UTC [88] bob@shop ERROR:  relation "x" '
+     "does not exist",
+     "postgres_with_user",
+     {"pg_user": "bob", "database": "shop", "severity": "ERROR",
+      "pid": 88.0, "message": 'relation "x" does not exist'}),
+    ("postgres",
      "2024-01-05 10:00:00.123 UTC [77] LOG:  database system is ready",
      "postgres",
      {"pid": 77.0, "severity": "LOG",
       "message": "database system is ready"}),
+    ("couchdb",
+     "[notice] 2024-01-05T10:00:00.000000Z couchdb@node1 chttpd "
+     "1a2b3c4d5e 10.0.0.2:5984 10.0.0.9 admin GET /db/_all_docs 200 ok",
+     "couchdb_http",
+     {"severity": "notice", "server_ip": "10.0.0.2", "server_port": 5984.0,
+      "client_ip": "10.0.0.9", "couch_user": "admin", "method": "GET",
+      "url": "/db/_all_docs", "status_code": 200.0}),
     ("couchdb",
      "[info] 2024-01-05T10:00:00.000000Z couchdb@node1 couch_log "
      "abc12345 Apache CouchDB has started",
