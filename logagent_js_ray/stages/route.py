@@ -19,8 +19,43 @@ vectorization amortizes strictly better.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# ES-style time-based index tokens (applyDateFormatToIndex,
+# /root/reference/lib/plugins/output/elasticsearch.js:227-241)
+_DATE_TOKEN_RE = re.compile(r"YYYY|MM|DD")
+_TOKEN_TO_STRFTIME = {"YYYY": "%Y", "MM": "%m", "DD": "%d"}
+
+
+def index_strftime_format(template: str) -> str | None:
+    """Convert a date-templated index name ('logs-YYYY.MM.DD') into a
+    strftime format ('logs-%Y.%m.%d'); None when the name is static."""
+    if not _DATE_TOKEN_RE.search(template):
+        return None
+    esc = template.replace("%", "%%")
+    return _DATE_TOKEN_RE.sub(lambda m: _TOKEN_TO_STRFTIME[m.group(0)], esc)
+
+
+def _expand_date_templates(sink: pa.Array, batch: pa.Table,
+                           ts_col: str) -> pa.Array:
+    """Replace YYYY/MM/DD tokens in sink names with the row's event time
+    — one vectorized strftime per DISTINCT template (a handful: the
+    routing table entries plus any _index overrides), never per row."""
+    templates = [s for s in pc.unique(sink).to_pylist()
+                 if s and _DATE_TOKEN_RE.search(s)]
+    if not templates:
+        return sink
+    if ts_col not in batch.column_names:
+        raise ValueError(
+            f"date-templated index names need a '{ts_col}' column")
+    ts = batch[ts_col]
+    for tmpl in templates:
+        expanded = pc.strftime(ts, format=index_strftime_format(tmpl))
+        sink = pc.if_else(pc.equal(sink, tmpl), expanded, sink)
+    return sink
 
 
 class RouteConfig:
@@ -28,14 +63,18 @@ class RouteConfig:
                  default_sink: str | None = "default",
                  drop_unmatched: bool = False,
                  source_col: str = "logSource",
-                 index_override_col: str = "_index"):
+                 index_override_col: str = "_index",
+                 ts_col: str = "@timestamp"):
         """``routes``: ordered [(sink_name, source_regex), ...] — the
-        analogue of the ES output's ``indices: {token: [regex, ...]}``."""
+        analogue of the ES output's ``indices: {token: [regex, ...]}``.
+        Sink names (and _index overrides) may carry YYYY/MM/DD tokens,
+        expanded per row from ``ts_col`` (elasticsearch.js:202,227)."""
         self.routes = list(routes)
         self.default_sink = default_sink
         self.drop_unmatched = drop_unmatched
         self.source_col = source_col
         self.index_override_col = index_override_col
+        self.ts_col = ts_col
 
 
 def route_batch(batch: pa.Table, cfg: RouteConfig) -> pa.Table:
@@ -53,10 +92,12 @@ def route_batch(batch: pa.Table, cfg: RouteConfig) -> pa.Table:
         sink = pc.if_else(hit, pa.scalar(name, pa.string()), sink)
     # precedence 3: default / drop
     if cfg.drop_unmatched:
+        sink = _expand_date_templates(sink, batch, cfg.ts_col)
         out = batch.append_column("sink", sink)
         return out.filter(pc.is_valid(sink))
     if cfg.default_sink is not None:
         sink = pc.coalesce(sink, pa.scalar(cfg.default_sink, pa.string()))
+    sink = _expand_date_templates(sink, batch, cfg.ts_col)
     return batch.append_column("sink", sink)
 
 
@@ -64,3 +105,29 @@ def make_route_fn(cfg: RouteConfig):
     def _route(batch: pa.Table) -> pa.Table:
         return route_batch(batch, cfg)
     return _route
+
+
+def make_fanout_fn(receivers: list[str], ts_col: str = "@timestamp",
+                   include_primary: bool = True):
+    """One-event→many-sinks fan-out — the multi-receiver loop of the ES
+    output (context.logsReceivers, elasticsearch.js:210-224): every row
+    is ADDITIONALLY emitted once per receiver with that receiver's
+    (date-templated) index as its sink. Apply AFTER the route stage (the
+    batch must already have a ``sink`` column). Output rows =
+    input × (1 + len(receivers)); at scale prefer routing receivers to
+    distinct partition values over materializing copies upstream of the
+    sink write (the copies are zero-copy column substitutions here —
+    only the sink column is new)."""
+    plans = [(tmpl, index_strftime_format(tmpl)) for tmpl in receivers]
+
+    def _fan(batch: pa.Table) -> pa.Table:
+        tables = [batch] if include_primary else []
+        i = batch.schema.get_field_index("sink")
+        for tmpl, fmt in plans:
+            if fmt is not None:
+                col = pc.strftime(batch[ts_col], format=fmt)
+            else:
+                col = pa.array([tmpl] * batch.num_rows, pa.string())
+            tables.append(batch.set_column(i, "sink", col))
+        return pa.concat_tables(tables)
+    return _fan

@@ -60,3 +60,42 @@ def test_route_drop_unmatched_and_index_override():
     t2 = tbl(logSource=["user"], _index=["forced"])
     out2 = route_batch(t2, RouteConfig([("s_u", "^user$")]))
     assert out2["sink"].to_pylist() == ["forced"]
+
+
+def _ts(*days):
+    import datetime as dt
+    return pa.array([dt.datetime(2024, 1, d, 10, 0, 0) for d in days],
+                    pa.timestamp("us"))
+
+
+def test_route_date_templated_index_names():
+    # applyDateFormatToIndex (elasticsearch.js:227-241): YYYY/MM/DD in
+    # the index name expand per row from the event time; applies to
+    # routed names, the default, and _index overrides alike
+    t = pa.table({"logSource": pa.array(["user", "user", "weird"]),
+                  "@timestamp": _ts(5, 6, 7)})
+    cfg = RouteConfig([("logs-YYYY.MM.DD", "^user$")],
+                      default_sink="other-YYYY.MM")
+    out = route_batch(t, cfg)
+    assert out["sink"].to_pylist() == [
+        "logs-2024.01.05", "logs-2024.01.06", "other-2024.01"]
+    t2 = pa.table({"logSource": pa.array(["user"]),
+                   "_index": pa.array(["forced-YYYY"]),
+                   "@timestamp": _ts(5)})
+    out2 = route_batch(t2, RouteConfig([("s_u", "^user$")]))
+    assert out2["sink"].to_pylist() == ["forced-2024"]
+
+
+def test_route_fanout_receivers():
+    # multi-receiver fan-out (elasticsearch.js:210-224): each row goes
+    # to its routed sink AND once per receiver index
+    from logagent_js_ray.stages.route import make_fanout_fn
+    t = pa.table({"logSource": pa.array(["user", "tool"]),
+                  "@timestamp": _ts(5, 6)})
+    routed = route_batch(t, RouteConfig([("s_u", "^user$")],
+                                        default_sink="s_d"))
+    out = make_fanout_fn(["audit-YYYY.MM", "mirror"])(routed)
+    assert out.num_rows == 6
+    assert sorted(out["sink"].to_pylist()) == sorted(
+        ["s_u", "s_d", "audit-2024.01", "audit-2024.01",
+         "mirror", "mirror"])
