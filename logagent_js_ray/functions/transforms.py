@@ -110,3 +110,23 @@ def register_transform(name: str, fn) -> None:
     the rebuild of logagent's npm-plugin / !!js/function surface, with
     no code ever eval'd from config."""
     TRANSFORMS[name] = fn
+
+
+# ---------------------------------------------------------------------
+# Per-pattern post-parse filters — rebuild of the reference's
+# ``p.filter(parsed, p)`` callable hook (parser.js:339-357): a pattern
+# entry may name a registered predicate; rows of that pattern where it
+# returns False are dropped (the logagentDropMessage analogue).
+# Contract: ``fn(cols: dict[str, pa.Array]) -> pa.BooleanArray`` — a
+# full-batch keep mask built with pyarrow.compute kernels; it is only
+# consulted on the rows the pattern matched.
+
+FILTERS: dict[str, object] = {}
+
+
+def register_filter(name: str, fn) -> None:
+    FILTERS[name] = fn
+
+
+def get_filter(name: str):
+    return FILTERS[name]

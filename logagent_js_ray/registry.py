@@ -70,6 +70,8 @@ class MatchEntry:
     transform: str | None
     input_drop: str | None = None
     input_filter: str | None = None
+    # named post-parse predicate (parser.js:339-357 p.filter hook)
+    filter_name: str | None = None
     compiled: re.Pattern = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -109,6 +111,7 @@ class PatternRegistry:
                         transform=m.get("transform"),
                         input_drop=m.get("inputDrop"),
                         input_filter=m.get("inputFilter"),
+                        filter_name=m.get("filter"),
                     ))
                 self.groups.append(PatternGroup(source=g.get("source", ".*"),
                                                 match=entries))

@@ -57,6 +57,50 @@ def journald_format(batch: pa.Table) -> pa.Table:
     return res
 
 
+def make_cloudfoundry_format_fn(tag_keys: list[str],
+                                tags_col: str = "tags",
+                                index: str | None = None):
+    """cloudfoundry-format output filter
+    (/root/reference/lib/plugins/output-filter/cloudfoundry-format.js:20-82):
+    explode the CF syslog structured-data tag list ('k1="v1" k2="v2"',
+    quotes stripped exactly like the reference's per-token replace) into
+    one column per DECLARED key — a fixed Arrow schema instead of the
+    reference's dynamic object spread — strip the receiver-index suffix
+    from _type/logSource, and surface a message that is itself a JSON
+    object as a ``cf_json`` overflow column (the spread-into-record of
+    extractJson, kept nested for schema stability). Vectorized: one
+    extract_regex per declared tag key."""
+    import pyarrow.compute as pc
+    key_res = [(k, rf'(?:^|\s)"?{re.escape(k)}"?="?(?P<v>[^\s"]*)')
+               for k in tag_keys]
+
+    def _cf(batch: pa.Table) -> pa.Table:
+        tags = pc.cast(batch[tags_col], pa.string()) \
+            if tags_col in batch.column_names \
+            else pa.nulls(batch.num_rows, pa.string())
+        for key, rx in key_res:
+            ext = pc.extract_regex(tags, rx)
+            batch = batch.append_column(f"tag_{key}",
+                                        pc.struct_field(ext, "v"))
+        if index:
+            suffix = re.escape("_" + index)
+            for name in ("_type", "logSource"):
+                if name in batch.column_names:
+                    i = batch.schema.get_field_index(name)
+                    batch = batch.set_column(
+                        i, name, pc.replace_substring_regex(
+                            batch[name], suffix + "$", ""))
+        if "message" in batch.column_names:
+            msg = pc.cast(batch["message"], pa.string())
+            s = pc.utf8_trim_whitespace(pc.coalesce(msg, pa.scalar("")))
+            is_json = pc.match_substring_regex(s, r"^\[?\{.*\}\]?$")
+            batch = batch.append_column(
+                "cf_json", pc.if_else(is_json, msg,
+                                      pa.scalar(None, pa.string())))
+        return batch
+    return _cf
+
+
 _KV_RE = re.compile(r"(\w+)=(\"[^\"]*\"|\S+)")
 
 

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.transforms import BUNYAN_LEVELS, get_transform
+from ..functions.transforms import BUNYAN_LEVELS, get_filter, get_transform
 from ..registry import JSON_PROMOTED, PatternRegistry, load_registry
 
 _STRPTIME_ISO = "%Y-%m-%dT%H:%M:%S"
@@ -134,7 +134,7 @@ class _Acc:
 
 def parse_batch(batch: pa.Table, registry: PatternRegistry,
                 text_col: str = "text", source_col: str = "role",
-                ts_col: str = "ts") -> pa.Table:
+                ts_col: str = "ts", json_transform=None) -> pa.Table:
     n = batch.num_rows
     schema_fields = registry.output_schema_fields()
     acc = _Acc(n, schema_fields)
@@ -152,6 +152,8 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
     jm = maybe_json.to_numpy(zero_copy_only=False)
     if jm.any():
         texts_np = text.to_numpy(zero_copy_only=False)
+        roles_np = role.to_numpy(zero_copy_only=False) \
+            if json_transform is not None else None
         json_ok = np.zeros(n, dtype=bool)
         msg = np.full(n, None, dtype=object)
         sev = np.full(n, None, dtype=object)
@@ -173,6 +175,14 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
                 sev[i] = BUNYAN_LEVELS.get(int(obj.pop("level")))
             if "time" in obj:
                 ts_str[i] = str(obj.pop("time"))
+            if json_transform is not None:
+                # cfg.json.transform hook (parser.js:440-452): a user
+                # callable over (source, parsed-object); errors are
+                # swallowed like the reference's try/catch
+                try:
+                    obj = json_transform(roles_np[i], obj) or obj
+                except Exception:
+                    pass
             msg[i] = obj.pop("message", None)
             rest = {}
             for k, v in obj.items():
@@ -232,6 +242,14 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
         if entry.input_drop:
             dm = pc.and_(valid, pc.match_substring_regex(text, entry.input_drop))
             drop |= dm.to_numpy(zero_copy_only=False)
+        if entry.filter_name:
+            # post-parse per-pattern drop predicate (parser.js:339-357):
+            # keep-mask UDF over the extracted columns; False (not null)
+            # on a matched row drops it, like logagentDropMessage
+            keep = get_filter(entry.filter_name)(cols)
+            bad = pc.and_(valid, pc.invert(pc.fill_null(
+                pc.cast(keep, pa.bool_()), True)))
+            drop |= bad.to_numpy(zero_copy_only=False)
         matched = pc.or_(matched, valid)
 
     # ---- fallback record (parser.js:559-564) -------------------------
@@ -266,15 +284,19 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
 
 def make_parse_fn(pattern_paths: list[str] | None = None,
                   text_col: str = "text", source_col: str = "role",
-                  ts_col: str = "ts"):
+                  ts_col: str = "ts", json_transform=None):
     """Factory for the map_batches callable. The returned closure loads
     the registry lazily per worker (module cache), so shipping it to Ray
-    serializes only the path list, never compiled regexes."""
+    serializes only the path list, never compiled regexes.
+    ``json_transform``: optional ``fn(source, obj) -> obj|None`` applied
+    to every JSON-fast-path record (cfg.json.transform,
+    parser.js:440-452) — cloudpickled to workers with the closure."""
     paths = list(pattern_paths) if pattern_paths else None
 
     def _parse(batch: pa.Table) -> pa.Table:
         return parse_batch(batch, load_registry(paths), text_col=text_col,
-                           source_col=source_col, ts_col=ts_col)
+                           source_col=source_col, ts_col=ts_col,
+                           json_transform=json_transform)
 
     return _parse
 

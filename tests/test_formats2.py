@@ -100,3 +100,24 @@ def test_gelf_projection():
     assert out["level"].to_pylist() == ["error", "INFO"]  # default INFO
     assert out["short_message"].to_pylist() == ["src:logagent-files"] * 2
     assert out["full_message"].to_pylist() == ["boom", "fine"]
+
+
+def test_cloudfoundry_format():
+    # cloudfoundry-format.js:20-82 — tag list explode, index suffix
+    # strip, JSON-object message surfaced
+    from logagent_js_ray.stages.formats import make_cloudfoundry_format_fn
+    fn = make_cloudfoundry_format_fn(["deployment", "job"], index="li1")
+    t = pa.table({
+        "tags": ['deployment="cf" job="router" index="3"',
+                 'job=diego_cell', None],
+        "_type": ["cf_li1", "cf_li1", "other"],
+        "logSource": ["RTR_li1", "APP_li1", "x"],
+        "message": ['{"status":200,"path":"/x"}', "plain text", None],
+    })
+    out = fn(t)
+    assert out["tag_deployment"].to_pylist() == ["cf", None, None]
+    assert out["tag_job"].to_pylist() == ["router", "diego_cell", None]
+    assert out["_type"].to_pylist() == ["cf", "cf", "other"]
+    assert out["logSource"].to_pylist() == ["RTR", "APP", "x"]
+    assert out["cf_json"].to_pylist() == [
+        '{"status":200,"path":"/x"}', None, None]

@@ -152,3 +152,52 @@ def test_numeric_utc_offsets_applied():
     ]), "java").to_pylist()
     assert java[0] == dt.datetime(2024, 1, 2, 3, 4, 5)
     assert java[1] == dt.datetime(2024, 1, 2, 2, 4, 5)
+
+
+def test_per_pattern_filter_hook(tmp_path):
+    # parser.js:339-357 — a pattern's `filter` names a registered
+    # predicate; matched rows where it returns False are dropped
+    import pyarrow.compute as pc
+
+    from logagent_js_ray.functions.transforms import register_filter
+    from logagent_js_ray.registry import PatternRegistry
+
+    register_filter("keep_5xx", lambda cols: pc.greater_equal(
+        pc.cast(cols["code"], pa.float64()), 500))
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        "patterns:\n"
+        "  - source: .*\n"
+        "    match:\n"
+        "      - type: kv_test\n"
+        "        regex: 'level=(?P<lvl>\\w+) code=(?P<code>\\d+)'\n"
+        "        types: {code: number}\n"
+        "        filter: keep_5xx\n")
+    reg = PatternRegistry([str(yml)])
+    out = parse_batch(batch_of([
+        "level=info code=200",      # matched, filter False -> dropped
+        "level=error code=503",     # matched, filter True -> kept
+        "totally unstructured",     # unmatched -> fallback, filter n/a
+    ]), reg)
+    rows = {out["message"][i].as_py(): out["_type"][i].as_py()
+            for i in range(out.num_rows)}
+    assert out.num_rows == 2
+    assert rows["level=error code=503"] == "kv_test"
+    assert "totally unstructured" in rows  # fallback survives
+
+
+def test_json_transform_hook():
+    # parser.js:440-452 — cfg.json.transform mutates the parsed object;
+    # exceptions are swallowed like the reference's try/catch
+    def xf(source, obj):
+        if obj.get("user") == "bob":
+            raise RuntimeError("swallowed")
+        obj["message"] = obj.get("message", "").upper()
+        return obj
+
+    out = parse_batch(batch_of([
+        '{"message": "hello", "user": "alice"}',
+        '{"message": "kept as-is", "user": "bob"}',
+    ]), load_registry(), json_transform=xf)
+    assert out["message"].to_pylist() == ["HELLO", "kept as-is"]
+    assert out["_type"].to_pylist() == ["json", "json"]
