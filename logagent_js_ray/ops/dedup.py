@@ -309,15 +309,34 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 # -------------------------------------------------- embedding near-dup
 
+def lsh_planes_for(n_rows: int, target_bucket: int = 256) -> int:
+    """Hyperplane count so the EXPECTED bucket occupancy stays ~
+    ``target_bucket`` (in-bucket compare is O(occupancy²)): 2^planes
+    buckets per table must grow linearly with n. 60k rows -> 8 planes,
+    100 TB-scale (1e10 docs) -> ~25 planes — without this the fixed
+    64-bucket layout degrades to O(n²/64)."""
+    import math
+    return max(6, math.ceil(math.log2(max(1, n_rows) / target_bucket)))
+
+
 def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
-                             n_planes: int = 6, n_tables: int = 4,
+                             n_planes: int | None = None, n_tables: int = 4,
                              seed: int = 11) -> "ray.data.Dataset":
     """Cosine near-dup via random-hyperplane LSH with ``n_tables``
     independent tables (a pair is a candidate if it collides in ANY
     table — one marginal hyperplane sign can't hide a near-dup), exact
-    cosine verify within buckets, global pair dedup."""
+    cosine verify within buckets, global pair dedup.
+
+    ``n_planes=None`` auto-sizes to the input row count via
+    :func:`lsh_planes_for` (parquet metadata count — no data scan), and
+    the coarse shuffle-group count scales with it, keeping both the
+    in-bucket O(occupancy²) compare and the per-group map_groups
+    dispatch bounded at any n."""
+    if n_planes is None:
+        n_planes = lsh_planes_for(ds.count())
+    n_coarse = max(64, min(1 << 14, 1 << max(0, n_planes - 6)))
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False))
         rng = np.random.default_rng(seed)
@@ -338,7 +357,7 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
             "lsh_bucket": pa.array(keys),
             "coarse": pa.array(
                 ((keys + tbl_idx.astype(np.int64) * np.int64(0x9E3779B9))
-                 % 64).astype(np.int32)),
+                 % n_coarse).astype(np.int32)),
         })
         return rep
 
