@@ -206,3 +206,119 @@ def es_bulk_parse(batch: pa.Table, body_col: str = "body",
     cols["_id"] = pa.array(out_id, pa.string())
     cols["source_json"] = pa.array(out_src, pa.string())
     return pa.table(cols)
+
+
+# --------------------------------------------------------------------
+# GELF chunked-UDP reassembly — the transport framing the reference's
+# gelf input delegates to graygelf/server
+# (/root/reference/lib/plugins/input/gelf.js:23-35): each datagram is
+# either a whole GELF JSON document or a chunk
+# ``0x1e 0x0f | msg_id(8B) | seq(1B) | total(1B) | payload`` of one.
+
+GELF_MAGIC = b"\x1e\x0f"
+
+
+def _bytes_at(arr: pa.Array, start: int, width: int,
+              dtype) -> "np.ndarray":
+    """Fixed-offset byte extraction over a binary array, vectorized:
+    slice -> fixed_size_binary -> one zero-copy numpy view."""
+    import numpy as np
+    import pyarrow.compute as pc
+    sl = pc.binary_slice(arr, start, start + width)
+    fb = sl.combine_chunks() if isinstance(sl, pa.ChunkedArray) else sl
+    fb = fb.cast(pa.binary(width))
+    raw = np.frombuffer(fb.buffers()[1], dtype=np.uint8)
+    raw = raw[fb.offset * width:(fb.offset + len(fb)) * width]
+    return raw.view(dtype).copy()
+
+
+def gelf_chunk_split(batch: pa.Table,
+                     datagram_col: str = "datagram") -> pa.Table:
+    """Split raw GELF datagrams into (gelf_msg_id, gelf_seq, gelf_total,
+    payload) rows. Unchunked datagrams (no magic) pass through as their
+    own single-chunk message with a null msg_id. Vectorized: magic test
+    + fixed-offset header views, no per-row Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+    dg = batch[datagram_col]
+    dg = dg.combine_chunks() if isinstance(dg, pa.ChunkedArray) else dg
+    is_chunk = pc.and_(
+        pc.greater_equal(pc.binary_length(dg), 12),
+        pc.equal(pc.binary_slice(dg, 0, 2), GELF_MAGIC))
+    is_chunk_np = is_chunk.to_numpy(zero_copy_only=False)
+    n = len(dg)
+    msg_id = np.full(n, -1, dtype=np.int64)
+    seq = np.zeros(n, dtype=np.int64)
+    total = np.ones(n, dtype=np.int64)
+    if is_chunk_np.any():
+        # header fields are only meaningful on chunk rows; extract over
+        # the chunk subset so short plain datagrams don't break the
+        # fixed-size cast
+        idx = np.flatnonzero(is_chunk_np)
+        sub = dg.take(pa.array(idx))
+        msg_id[idx] = _bytes_at(sub, 2, 8, np.int64)
+        seq[idx] = _bytes_at(sub, 10, 1, np.uint8)
+        total[idx] = _bytes_at(sub, 11, 1, np.uint8)
+    payload = pc.if_else(is_chunk, pc.binary_slice(dg, 12, 1 << 30), dg)
+    cols = {c: batch[c] for c in batch.column_names if c != datagram_col}
+    cols["gelf_msg_id"] = pa.array(msg_id)
+    cols["gelf_seq"] = pa.array(seq)
+    cols["gelf_total"] = pa.array(total)
+    cols["payload"] = payload
+    return pa.table(cols)
+
+
+def gelf_reassemble(ds: "ray.data.Dataset",
+                    num_buckets: int = 256) -> "ray.data.Dataset":
+    """Reassemble split chunks into whole GELF JSON strings: shuffle by
+    COARSE ``hash(msg_id) % num_buckets`` (per-group dispatch is
+    Python-priced — repo rule), then order-by-(msg_id, seq) binary join
+    per message inside the bucket. Messages missing chunks
+    (count != gelf_total) are dropped, like a reassembly timeout.
+    Unchunked rows (msg_id -1) never enter the per-message merge: each
+    is already a whole document, so they keep msg_id -1, are spread
+    round-robin over the buckets (no hot key), and pass through
+    one-to-one. Returns (gelf_msg_id, message:string)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def key(b: pa.Table) -> pa.Table:
+        mid = b["gelf_msg_id"].to_numpy(zero_copy_only=False)
+        bkt = ((mid * np.int64(0x9E3779B9)) & (num_buckets - 1)) \
+            .astype(np.int32)
+        un = mid == -1
+        if un.any():
+            bkt[un] = (np.arange(len(mid))[un] % num_buckets) \
+                .astype(np.int32)
+        return b.append_column("_b", pa.array(bkt))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        un = g["gelf_msg_id"].to_numpy() == -1
+        frames = []
+        if un.any():
+            frames.append(pd.DataFrame({
+                "gelf_msg_id": np.full(int(un.sum()), -1, dtype=np.int64),
+                "message": [p.decode("utf-8", "replace")
+                            for p in g.loc[un, "payload"]]}))
+        ch = g[~un]
+        if len(ch):
+            ch = ch.sort_values(["gelf_msg_id", "gelf_seq"],
+                                kind="stable")
+            joined = ch.groupby("gelf_msg_id", sort=False).agg(
+                message=("payload", lambda s: b"".join(s)),
+                _n=("gelf_seq", "size"),
+                _want=("gelf_total", "first"))
+            joined = joined[joined["_n"] == joined["_want"]]
+            frames.append(pd.DataFrame({
+                "gelf_msg_id": joined.index.to_numpy(dtype=np.int64),
+                "message": [p.decode("utf-8", "replace")
+                            for p in joined["message"]]}))
+        if not frames:
+            return pd.DataFrame({
+                "gelf_msg_id": pd.Series([], dtype=np.int64),
+                "message": pd.Series([], dtype=str)})
+        return pd.concat(frames, ignore_index=True)
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas"))

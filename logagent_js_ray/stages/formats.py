@@ -27,6 +27,62 @@ import pyarrow as pa
 from ..functions.transforms import SYSLOG_SEVERITY
 
 
+SYSLOG_FACILITY = pa.array(
+    ["kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+     "uucp", "cron", "authpriv", "ftp", "ntp", "logaudit", "logalert",
+     "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+     "local6", "local7"], pa.string())
+
+_SYSLOG_3164_RE = (r"^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d "
+                   r"\d{2}:\d{2}:\d{2}) (?P<host>\S+) "
+                   r"(?P<tag>[^\s\[:]+)(?:\[(?P<pid>\d+)\])?: ?"
+                   r"(?P<msg>.*)$")
+_SYSLOG_5424_RE = (r"^<(?P<pri>\d{1,3})>1 (?P<ts>\S+) (?P<host>\S+) "
+                   r"(?P<tag>\S+) (?P<pid>\S+) \S+ \S+ (?P<msg>.*)$")
+
+
+def syslog_frame_parse(batch: pa.Table,
+                       line_col: str = "text") -> pa.Table:
+    """Syslog datagram framing — the parse half of the reference's UDP
+    receiver (/root/reference/lib/plugins/input/syslog.js:22-90, whose
+    ``syslogd`` lib does this split before the emit): RFC3164
+    (``<pri>Mmm dd hh:mm:ss host tag[pid]: msg``) with an RFC5424
+    (``<pri>1 ...``) fallback, both vectorized ``pc.extract_regex``.
+    Emits the receiver's enrichment fields — ``severity`` /
+    ``facility`` NAMES from the pri value (SEVERITY/FACILITY tables,
+    syslog.js:22-56), ``syslog_tag`` (the reference's ``syslog-tag``,
+    also its per-event sourceName) — plus ``syslog_host``,
+    ``syslog_pid`` and the free-text ``message``. Non-syslog lines pass
+    through with null fields.
+    """
+    import pyarrow.compute as pc
+    lines = pc.cast(batch[line_col], pa.string())
+    m31 = pc.extract_regex(lines, _SYSLOG_3164_RE)
+    m54 = pc.extract_regex(lines, _SYSLOG_5424_RE)
+    use54 = pc.and_(pc.is_null(m31), pc.is_valid(m54))
+
+    def field(name):
+        return pc.if_else(use54, pc.struct_field(m54, name),
+                          pc.struct_field(m31, name))
+
+    pri = pc.cast(field("pri"), pa.int64())
+    sev_idx = pc.bit_wise_and(pri, 7)
+    fac_idx = pc.shift_right(pri, 3)
+    fac_idx = pc.if_else(pc.less(fac_idx, 24), fac_idx,
+                         pa.scalar(None, pa.int64()))
+    out = batch.append_column("severity", SYSLOG_SEVERITY.take(sev_idx))
+    out = out.append_column("facility", SYSLOG_FACILITY.take(fac_idx))
+    out = out.append_column("syslog_host", field("host"))
+    out = out.append_column("syslog_tag", field("tag"))
+    out = out.append_column(
+        "syslog_pid", pc.cast(pc.if_else(
+            pc.match_substring_regex(
+                pc.fill_null(field("pid"), ""), r"^\d+$"),
+            field("pid"), pa.scalar(None, pa.string())), pa.int64()))
+    out = out.append_column("syslog_ts_raw", field("ts"))
+    return out.append_column("message", field("msg"))
+
+
 def journald_format(batch: pa.Table) -> pa.Table:
     """Columns expected: MESSAGE, __REALTIME_TIMESTAMP (µs epoch string
     or int), PRIORITY, SYSLOG_FACILITY, _HOSTNAME, _PID, _COMM."""
@@ -211,14 +267,16 @@ def influx_projection(batch: pa.Table,
     n = batch.num_rows
     fields = np.empty(n, dtype=object)
     tags = np.empty(n, dtype=object)
-    num_np = {c: batch[c].to_numpy(zero_copy_only=False) for c in num_cols}
-    str_np = {c: batch[c].to_numpy(zero_copy_only=False) for c in str_cols}
+    # to_pylist: plain Python ints/floats — numpy 2 scalars are not
+    # JSON-serializable
+    num_py = {c: batch[c].to_pylist() for c in num_cols}
+    str_py = {c: batch[c].to_pylist() for c in str_cols}
     for i in range(n):
         fields[i] = _json.dumps(
-            {c: v[i] for c, v in num_np.items()
-             if v[i] == v[i] and v[i] is not None}, sort_keys=True)
+            {c: v[i] for c, v in num_py.items()
+             if v[i] is not None and v[i] == v[i]}, sort_keys=True)
         tags[i] = _json.dumps(
-            {c: v[i] for c, v in str_np.items() if v[i] is not None},
+            {c: v[i] for c, v in str_py.items() if v[i] is not None},
             sort_keys=True)
     out = pa.table({"tags": pa.array(tags, pa.string()),
                     "fields": pa.array(fields, pa.string())})

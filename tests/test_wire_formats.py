@@ -73,3 +73,54 @@ def test_es_bulk_parse_in_ray_flatmap(ray_session):
     assert len(rows) == 8
     assert rows[0]["_index"] == "i0"
     assert json.loads(rows[0]["source_json"]) == {"k": 0}
+
+
+def test_syslog_frame_parse():
+    from logagent_js_ray.stages.formats import syslog_frame_parse
+    lines = [
+        "<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed",
+        "<13>Feb  5 17:32:18 10.0.0.99 myapp: Use the BFG!",
+        "<165>1 2003-10-11T22:14:15.003Z host.example app 1234 ID47 - boom",
+        "not syslog at all",
+    ]
+    out = syslog_frame_parse(pa.table({"text": lines}))
+    assert out["severity"].to_pylist() == ["crit", "notice", "notice", None]
+    assert out["facility"].to_pylist() == ["auth", "user", "local4", None]
+    assert out["syslog_host"].to_pylist() == [
+        "mymachine", "10.0.0.99", "host.example", None]
+    assert out["syslog_tag"].to_pylist() == ["su", "myapp", "app", None]
+    assert out["syslog_pid"].to_pylist() == [123, None, 1234, None]
+    assert out["message"].to_pylist() == [
+        "'su root' failed", "Use the BFG!", "boom", None]
+
+
+def _gelf_chunks(msg_id: int, payload: bytes, size: int) -> list[bytes]:
+    parts = [payload[i:i + size] for i in range(0, len(payload), size)]
+    mid = msg_id.to_bytes(8, "little", signed=True)
+    return [b"\x1e\x0f" + mid + bytes([i, len(parts)]) + p
+            for i, p in enumerate(parts)]
+
+
+def test_gelf_chunk_roundtrip(ray_session):
+    import json
+
+    import ray.data
+
+    from logagent_js_ray.sources.wire_formats import (gelf_chunk_split,
+                                                      gelf_reassemble)
+    docs = {7: json.dumps({"short_message": "x" * 300, "host": "a"}),
+            9: json.dumps({"short_message": "hé" * 99, "host": "b"})}
+    datagrams = []
+    for mid, doc in docs.items():
+        datagrams += _gelf_chunks(mid, doc.encode(), 64)
+    # an unchunked datagram + an incomplete message (one chunk missing)
+    datagrams.append(b'{"short_message":"whole","host":"c"}')
+    datagrams += _gelf_chunks(11, b'{"short_message":"lost"}', 8)[:-1]
+    ds = ray.data.from_arrow(pa.table({"datagram": datagrams}))
+    ds = ds.map_batches(gelf_chunk_split, batch_format="pyarrow")
+    out = {r["gelf_msg_id"]: r["message"]
+           for r in gelf_reassemble(ds, num_buckets=8).take_all()}
+    assert json.loads(out[7])["short_message"] == "x" * 300
+    assert json.loads(out[9])["short_message"] == "hé" * 99
+    assert json.loads(out[-1])["short_message"] == "whole"
+    assert 11 not in out  # incomplete: dropped like a reassembly timeout
