@@ -62,9 +62,9 @@ def read_sql_incremental_distributed(
     Sharding note: Ray's built-in ``shard_keys`` emits
     ``MOD(ABS(MD5(col)), N)`` which several dialects (DuckDB included)
     reject for non-VARCHAR keys, so sharding is done here instead — N
-    hash-predicate sub-queries (``shard_predicate`` template, default
-    DuckDB's ``hash()``) each read as its own block and unioned. Same
-    union of rows, every fragment fetched by a worker task.
+    ``hash(key) % N = i`` sub-queries, each read as its own block and
+    unioned. Same union of rows, every fragment fetched by a worker
+    task.
     """
     import duckdb
     q = query.replace("$QUERY_TIME", f"'{watermark.read()}'")
