@@ -94,7 +94,7 @@ def run_bench() -> dict:
     if not flagship_only:
         for name in ("t_text_equality", "t_agg_bucket", "t_conv_stats",
                      "e_agg_type_hour", "e_route_counts", "d_exact_dedup",
-                     "d_minhash_pairs", "d_token_stats", "v_knn",
+                     "d_neardup_pairs", "d_token_stats", "v_knn",
                      "l_pricing"):
             timed(name, q.QUERIES[name])
 
