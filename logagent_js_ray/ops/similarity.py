@@ -273,8 +273,9 @@ def build_ivf_index(ds: "ray.data.Dataset", centroids: np.ndarray,
         return batch.append_column("ivf_list",
                                    pa.array(lists, pa.int32()))
 
+    from ..sinks import PARQUET_WRITE_OPTS
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["ivf_list"])
+        out_dir, partition_cols=["ivf_list"], **PARQUET_WRITE_OPTS)
     return out_dir
 
 

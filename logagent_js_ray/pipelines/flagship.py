@@ -152,8 +152,10 @@ def run_flagship(input_path: str, out_dir: str | None = None,
         # on a lone local disk cap writers (~8/node measured best);
         # on tmpfs / distributed FS unlimited writers scale with CPUs
         pcols = ["sink"] + (["conv_bucket"] if conv_buckets else [])
+        from ..sinks import PARQUET_WRITE_OPTS
         routed.write_parquet(out_dir, partition_cols=pcols,
-                             concurrency=write_concurrency)
+                             concurrency=write_concurrency,
+                             **PARQUET_WRITE_OPTS)
         if _dbg:
             print(f"[timing] write: {_time.time() - _t0:.1f}s", flush=True)
             _t0 = _time.time()

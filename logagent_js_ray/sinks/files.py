@@ -64,8 +64,10 @@ def write_template_sink(ds: "ray.data.Dataset", out_dir: str,
                 batch[type_col], type_match), False))
         return render_template_column(batch.filter(keep), template)
 
+    from . import PARQUET_WRITE_OPTS
     ds.map_batches(gate_and_render, batch_format="pyarrow") \
-      .write_parquet(out_dir, partition_cols=["file_name"])
+      .write_parquet(out_dir, partition_cols=["file_name"],
+                     **PARQUET_WRITE_OPTS)
 
 
 def show(ds: "ray.data.Dataset", n: int = 10, fmt: str = "ldjson") -> str:

@@ -114,7 +114,9 @@ def run_checkpointed(input_path: str, out_dir: str,
         shutil.rmtree(part_tmp, ignore_errors=True)
         ds = build_routed([frag], pattern_paths=pattern_paths,
                           **pipeline_kwargs)
-        ds.write_parquet(part_tmp, partition_cols=["sink"])
+        from ..sinks import PARQUET_WRITE_OPTS
+        ds.write_parquet(part_tmp, partition_cols=["sink"],
+                         **PARQUET_WRITE_OPTS)
         if os.path.exists(part_final):
             shutil.rmtree(part_final)
         os.rename(part_tmp, part_final)
