@@ -323,7 +323,8 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
                              n_planes: int | None = None, n_tables: int = 4,
-                             seed: int = 11) -> "ray.data.Dataset":
+                             seed: int = 11,
+                             n_rows: int | None = None) -> "ray.data.Dataset":
     """Cosine near-dup via random-hyperplane LSH with ``n_tables``
     independent tables (a pair is a candidate if it collides in ANY
     table — one marginal hyperplane sign can't hide a near-dup), exact
@@ -335,7 +336,11 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
     in-bucket O(occupancy²) compare and the per-group map_groups
     dispatch bounded at any n."""
     if n_planes is None:
-        n_planes = lsh_planes_for(ds.count())
+        # pass n_rows when ds has transform stages: count() on such a
+        # dataset EXECUTES them once just for sizing (parquet metadata
+        # counts are free, mapped pipelines are not)
+        n_planes = lsh_planes_for(n_rows if n_rows is not None
+                                  else ds.count())
     n_coarse = max(64, min(1 << 14, 1 << max(0, n_planes - 6)))
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False))
