@@ -2,12 +2,15 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode/resize/feature kernels are STUBS in this environment (no
-image/audio libraries are installed): ``DecodeImage`` tries to import a
-real decoder and, absent one, uses a clearly-marked deterministic fake so
-the Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested. Swap ``_decode_impl`` for a real kernel on
-a cluster with the libs installed.
+The decode kernels are REAL for the uncompressed public formats a
+library-free environment can parse — 24-bit BMP images, RIFF/WAVE PCM16
+audio and YUV4MPEG2 video (:mod:`.media_codecs`, numpy + struct only):
+decode, nearest-neighbour resize, real FFT band-energy audio features,
+real frame extraction. Compressed formats (JPEG/PNG/MP3/H.264) have no
+decoder in this container and fall back to a clearly-marked
+deterministic digest-derived stub, keeping schema and dataflow
+identical; swap the fallback for PIL/librosa/pyav kernels on a cluster
+with the libs installed.
 
 Batch-size note (memory-aware): binary payload stages should use a SMALL
 ``batch_size`` (e.g. 32-256) so batch x concurrency fits the worker heap;
@@ -22,6 +25,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .media_codecs import (decode_bmp, decode_wav_pcm16, encode_bmp,
+                           encode_wav_pcm16, encode_y4m, log_mel_like,
+                           parse_y4m, resize_nearest)
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
@@ -33,28 +40,64 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests."""
+    """Deterministic media rows with REAL payloads: BMP gradients+noise
+    for images, sine+noise WAVs for audio, moving-gradient y4m clips
+    for video — so the decode stages below exercise their real kernels
+    end-to-end without any external library."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads, widths, heights, rates = [], [], [], []
     kinds = [("image", "audio", "video")[i % 3] for i in range(n)]
+    for i, kind in enumerate(kinds):
+        if kind == "image":
+            w, h = (i % 16 + 1) * 8, (i % 9 + 1) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                rng.integers(0, 256, (h, w))], axis=-1).astype(np.uint8)
+            payloads.append(encode_bmp(img))
+            widths.append(w); heights.append(h); rates.append(0)
+        elif kind == "audio":
+            sr = 16000
+            t = np.arange(800 + 16 * (i % 8)) / sr
+            freq = 200.0 + 50.0 * (i % 10)
+            sig = (np.sin(2 * np.pi * freq * t) * 0.5
+                   + rng.standard_normal(len(t)) * 0.05)
+            payloads.append(encode_wav_pcm16(sig, sr))
+            widths.append(0); heights.append(0); rates.append(sr)
+        else:
+            w, h, nf = 16, 8, 12 + i % 5
+            base = np.arange(w, dtype=np.uint8)[None, :] * 15
+            frames = np.stack([np.roll(np.broadcast_to(
+                base, (h, w)).copy(), f, axis=1) for f in range(nf)])
+            payloads.append(encode_y4m(frames))
+            widths.append(w); heights.append(h); rates.append(0)
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(kinds),
         "payload": pa.array(payloads, pa.binary()),
-        "width": pa.array([(i % 16 + 1) * 32 for i in range(n)], pa.int32()),
-        "height": pa.array([(i % 9 + 1) * 32 for i in range(n)], pa.int32()),
-        "sample_rate": pa.array([16000] * n, pa.int32()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "sample_rate": pa.array(rates, pa.int32()),
     })
+
+
+def _digest_features(tag: bytes, payload: bytes, dim: int) -> np.ndarray:
+    """Declared deterministic STUB for formats with no in-container
+    decoder: digest-seeded features with the real schema."""
+    digest = hashlib.sha256(tag + payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    return rng.standard_normal(dim).astype(np.float32)
 
 
 class DecodeImage:
     """Actor-pool stage: decode + resize + feature-extract.
 
-    Real decoder loaded once per actor in ``__init__`` when available;
-    otherwise a deterministic fake derives a fixed-length feature vector
-    from the payload bytes (sha256-seeded), keeping schema and dataflow
-    identical to the real path.
+    24-bit BMP payloads decode for REAL (media_codecs.decode_bmp):
+    nearest-neighbour resize to ``target_size`` and a 32-dim feature of
+    channel means/stds + a 26-bin grayscale histogram. Other formats
+    (JPEG/PNG...) use the digest stub until a real decoder (PIL) is
+    installed and passed via ``use_real_decoder``.
     """
 
     FEATURE_DIM = 32
@@ -62,28 +105,38 @@ class DecodeImage:
     def __init__(self, target_size: tuple[int, int] = (64, 64),
                  use_real_decoder: bool = False):
         self.target = target_size
-        self.real = False
+        self.pil = None
         if use_real_decoder:  # explicit opt-in: presence of PIL alone
-            # must never turn the working stub into a crash
+            # must never change behavior (ADVICE r1)
             try:  # pragma: no cover - not installed in this environment
-                from PIL import Image  # noqa: F401
-                self.real = True
+                from PIL import Image
+                self.pil = Image
             except ImportError:
                 pass
 
-    def _decode_impl(self, payload: bytes) -> np.ndarray:
-        if self.real:  # pragma: no cover
-            raise NotImplementedError(
-                "real decode kernel not implemented in this sandbox; "
-                "construct with use_real_decoder=False (the default)")
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(self.FEATURE_DIM).astype(np.float32)
+    def _features_from_rgb(self, img: np.ndarray) -> np.ndarray:
+        img = resize_nearest(img, self.target[0], self.target[1])
+        f = np.empty(self.FEATURE_DIM, np.float32)
+        flat = img.reshape(-1, 3).astype(np.float32)
+        f[0:3] = flat.mean(axis=0) / 255.0
+        f[3:6] = flat.std(axis=0) / 255.0
+        gray = flat.mean(axis=1)
+        hist, _ = np.histogram(gray, bins=26, range=(0.0, 255.0))
+        f[6:32] = hist.astype(np.float32) / max(len(gray), 1)
+        return f
+
+    def _decode_impl(self, payload: bytes) -> tuple[np.ndarray, bool]:
+        if payload[:2] == b"BM":
+            try:
+                return self._features_from_rgb(decode_bmp(payload)), True
+            except ValueError:
+                pass  # exotic BMP -> stub
+        return _digest_features(b"image:", payload, self.FEATURE_DIM), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._decode_impl(p) for p in payloads])
+        pairs = [self._decode_impl(p) for p in payloads]
+        feats = np.stack([p[0] for p in pairs])
         out = batch.drop_columns(["payload"])  # blob consumed, not carried
         out = out.append_column(
             "features", pa.array(list(feats),
@@ -92,15 +145,15 @@ class DecodeImage:
             "decoded_w", pa.array([self.target[0]] * len(payloads), pa.int32()))
         out = out.append_column(
             "decoded_h", pa.array([self.target[1]] * len(payloads), pa.int32()))
-        return out
+        return out.append_column(
+            "real_decode", pa.array([p[1] for p in pairs], pa.bool_()))
 
 
 class ExtractAudioFeatures:
-    """Audio feature-extract plumbing (mel-spectrogram-shaped output).
-    STUB kernel: no audio libs in this container, so features derive
-    deterministically from the payload digest; schema (frames x mels
-    fixed-size list), batch sizing and actor signature are the real
-    contract a librosa/torchaudio kernel would drop into."""
+    """Audio feature-extract (mel-spectrogram-shaped output). RIFF/WAVE
+    PCM16 payloads decode for REAL: framed |rFFT| pooled into log-spaced
+    bands (media_codecs.log_mel_like) — genuine DSP, numpy only. Other
+    codecs use the digest stub until librosa/torchaudio is installed."""
 
     N_MELS = 16
     N_FRAMES = 8
@@ -108,25 +161,26 @@ class ExtractAudioFeatures:
     def __init__(self, sample_rate: int = 16000,
                  use_real_decoder: bool = False):
         self.sample_rate = sample_rate
-        self.real = False
+        self.librosa = None
         if use_real_decoder:  # explicit opt-in, same rationale as
-            # DecodeImage: importability of librosa must not flip a
-            # working stage into a runtime crash
+            # DecodeImage: importability of librosa must not flip
+            # behavior (ADVICE r1)
             try:  # pragma: no cover - not installed in this environment
-                import librosa  # noqa: F401
-                self.real = True
+                import librosa
+                self.librosa = librosa
             except ImportError:
                 pass
 
     def _features(self, payload: bytes) -> np.ndarray:
-        if self.real:  # pragma: no cover
-            raise NotImplementedError(
-                "real audio kernel not implemented in this sandbox; "
-                "construct with use_real_decoder=False (the default)")
-        digest = hashlib.sha256(b"audio:" + payload).digest()
-        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-        return rng.standard_normal(
-            self.N_FRAMES * self.N_MELS).astype(np.float32)
+        if payload[:4] == b"RIFF":
+            try:
+                samples, _rate = decode_wav_pcm16(payload)
+                return log_mel_like(samples, self.N_FRAMES,
+                                    self.N_MELS).reshape(-1)
+            except ValueError:
+                pass
+        return _digest_features(b"audio:", payload,
+                                self.N_FRAMES * self.N_MELS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -143,8 +197,10 @@ class ExtractAudioFeatures:
 
 
 class SampleFrames:
-    """Video frame-sampling plumbing: emits one row per sampled frame
-    index (flat-map shape) without decoding in the sandbox."""
+    """Video frame-sampling: YUV4MPEG2 payloads parse for REAL — one
+    output row per sampled frame with its true luma mean; containers
+    without an in-sandbox parser emit index-only rows (frame_luma
+    null), the declared stub."""
 
     def __init__(self, every_n: int = 10, max_frames: int = 4):
         self.every_n = every_n
@@ -153,12 +209,28 @@ class SampleFrames:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        out_id, out_frame = [], []
-        for mid, kind in zip(ids, kinds):
+        payloads = batch["payload"].to_pylist()
+        out_id, out_frame, out_luma = [], [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
             if kind != "video":
                 continue
-            for f in range(self.max_frames):
+            if payload[:9] == b"YUV4MPEG2":
+                try:
+                    _w, _h, frames = parse_y4m(payload)
+                    for j, f in enumerate(
+                            range(0, len(frames), self.every_n)):
+                        if j >= self.max_frames:
+                            break
+                        out_id.append(mid)
+                        out_frame.append(f)
+                        out_luma.append(float(frames[f].mean()))
+                    continue
+                except ValueError:
+                    pass
+            for f in range(self.max_frames):  # stub: indices only
                 out_id.append(mid)
                 out_frame.append(f * self.every_n)
+                out_luma.append(None)
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
-                         "frame_idx": pa.array(out_frame, pa.int32())})
+                         "frame_idx": pa.array(out_frame, pa.int32()),
+                         "frame_luma": pa.array(out_luma, pa.float64())})
