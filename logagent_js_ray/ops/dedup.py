@@ -307,6 +307,101 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 3,
+                        max_posting: int | None = None,
+                        num_buckets: int = 64,
+                        pair_partitions: int = 64) -> "ray.data.Dataset":
+    """EXACT word-k-gram Jaccard near-dup pairs via a distributed
+    inverted index — the non-approximate sibling of
+    :func:`minhash_lsh_pairs`.
+
+    Shape: explode docs to distinct shingle rows, shuffle by
+    ``hash(shingle) % num_buckets`` (coarse groups — Ray's per-group
+    dispatch is Python-priced), self-join per shingle inside each
+    bucket (vectorized pandas merge) into partial pair counts, then a
+    hash-partitioned :func:`~..stages.aggregate.tree_merge` sums
+    ``|A ∩ B|`` per pair with no single-root bottleneck. Jaccard uses
+    pure integer arithmetic (``c*den >= num*(|A|+|B|-c)``) so the
+    threshold is bit-exact against SQL.
+
+    ``max_posting`` drops shingles shared by more than that many docs
+    (the stop-shingle blowup guard for web-scale corpora); ``None``
+    keeps the operator exact, which the DuckDB oracle requires.
+    """
+    import pandas as pd
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_sh, out_sz = [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            if len(toks) >= k:
+                ss = {" ".join(toks[j:j + k])
+                      for j in range(len(toks) - k + 1)}
+            else:
+                ss = {t or ""}
+            out_id += [i] * len(ss)
+            out_sh += list(ss)
+            out_sz += [len(ss)] * len(ss)
+        coarse = np.array([zlib.crc32(s.encode()) % num_buckets
+                           for s in out_sh], np.int32)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "sh": pa.array(out_sh, pa.string()),
+                         "sz": pa.array(out_sz, pa.int64()),
+                         "coarse": pa.array(coarse)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "sa": pd.Series([], dtype=np.int64),
+            "sb": pd.Series([], dtype=np.int64),
+            "c": pd.Series([], dtype=np.int64)})
+        if max_posting is not None:
+            g = g[g.groupby("sh")["id"].transform("size") <= max_posting]
+        if len(g) < 2:
+            return empty
+        m = g.merge(g, on="sh")
+        m = m[m["id_x"] < m["id_y"]]
+        if not len(m):
+            return empty
+        part = (m.groupby(["id_x", "id_y", "sz_x", "sz_y"])
+                .size().reset_index(name="c"))
+        return pd.DataFrame({
+            "id_a": part["id_x"].astype(np.int64),
+            "id_b": part["id_y"].astype(np.int64),
+            "sa": part["sz_x"].astype(np.int64),
+            "sb": part["sz_y"].astype(np.int64),
+            "c": part["c"].astype(np.int64)})
+
+    from ..stages.aggregate import tree_merge
+    partials = (ds.map_batches(shingle_rows, batch_format="pyarrow")
+                .groupby("coarse")
+                .map_groups(bucket_pairs, batch_format="pandas"))
+    merged = tree_merge(partials, ["id_a", "id_b"],
+                        {"c": "sum", "sa": "max", "sb": "max"},
+                        partition_by_key=pair_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = b["c"]
+        union = pc.subtract(pc.add(b["sa"], b["sb"]), c)
+        keep = pc.greater_equal(pc.multiply(c, threshold_den),
+                                pc.multiply(union, threshold_num))
+        out = b.filter(keep)
+        c2 = out["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u2 = (out["sa"].to_numpy(zero_copy_only=False)
+              + out["sb"].to_numpy(zero_copy_only=False) - c2)
+        j_e6 = np.rint(1e6 * c2 / np.maximum(u2, 1)).astype(np.int64)
+        return pa.table({"id_a": out["id_a"], "id_b": out["id_b"],
+                         "jaccard_e6": pa.array(j_e6)})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------------- embedding near-dup
 
 def lsh_planes_for(n_rows: int, target_bucket: int = 256) -> int:

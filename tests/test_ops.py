@@ -312,3 +312,28 @@ def test_range_join_semantics(ray_session):
     # lid 1,2 in a's first window (boundaries inclusive); lid 3 in the
     # second; lid 4 in b's window; lid 5 (b@2) before any: dropped
     assert got == {1: 10, 2: 10, 3: 11, 4: 20}
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.dedup import ngram_jaccard, ngram_jaccard_pairs
+    docs = {
+        0: "a b c d e f g h",
+        1: "a b c d e f g x",     # near-dup of 0
+        2: "p q r s t u v w",     # unrelated
+        3: "a b c d e f g h",     # exact dup of 0
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    out = {(r["id_a"], r["id_b"]): r["jaccard_e6"]
+           for r in ngram_jaccard_pairs(
+               ds, threshold_num=1, threshold_den=3,
+               num_buckets=8, pair_partitions=4).take_all()}
+    assert out[(0, 3)] == 1_000_000  # exact dup
+    # pairwise function agrees with the distributed operator
+    expect = round(1e6 * ngram_jaccard(docs[0], docs[1], 3))
+    assert out[(0, 1)] == expect and out[(1, 3)] == expect
+    assert (0, 2) not in out and (2, 3) not in out
