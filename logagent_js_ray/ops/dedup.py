@@ -338,11 +338,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         out_id, out_sh, out_sz = [], [], []
         for i, t in zip(ids, texts):
             toks = (t or "").split()
-            if len(toks) >= k:
-                ss = {" ".join(toks[j:j + k])
-                      for j in range(len(toks) - k + 1)}
-            else:
-                ss = {t or ""}
+            if len(toks) < k:
+                continue  # no k-shingles: excluded from pairing, same
+                # as the SQL oracle's empty generate_series window
+            ss = {" ".join(toks[j:j + k])
+                  for j in range(len(toks) - k + 1)}
             out_id += [i] * len(ss)
             out_sh += list(ss)
             out_sz += [len(ss)] * len(ss)

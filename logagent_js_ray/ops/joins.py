@@ -60,7 +60,14 @@ def _restore_dtypes(df: pd.DataFrame,
                     cols: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
     for name, t in cols:
         dt = _pd_dtype(t)
-        if dt is not None and str(df[name].dtype) != str(dt):
+        if dt is None or str(df[name].dtype) == str(dt):
+            continue
+        if pa.types.is_integer(t) and df[name].isna().any():
+            # genuine NULLs in an int column: numpy int64 cannot hold
+            # them and astype would raise — use pandas' nullable Int64
+            # (Arrow round-trips it back to int64-with-nulls)
+            df[name] = df[name].astype("Int64")
+        else:
             df[name] = df[name].astype(dt)
     return df
 
@@ -129,8 +136,10 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         rg = g[g["_side"] == 1]
         if lg.empty or rg.empty:
             return _empty_frame(out_spec)
-        # deterministic right tie-break: keep max right_cols per (key, ts)
-        rg = rg.sort_values([key, ts_col] + tagged_r, kind="mergesort")
+        # deterministic right tie-break: keep max right_cols per (key,
+        # ts); NaN sorts FIRST so keep="last" prefers real values
+        rg = rg.sort_values([key, ts_col] + tagged_r, kind="mergesort",
+                            na_position="first")
         rg = rg.drop_duplicates([key, ts_col], keep="last")
         rsel = rg[[key, ts_col] + tagged_r].rename(
             columns={f"_r_{c}": f"{c}{rsuffix}" for c in right_cols})

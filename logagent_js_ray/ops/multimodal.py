@@ -104,6 +104,7 @@ class DecodeImage:
 
     def __init__(self, target_size: tuple[int, int] = (64, 64),
                  use_real_decoder: bool = False):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         self.target = target_size
         self.pil = None
         if use_real_decoder:  # explicit opt-in: presence of PIL alone
@@ -160,6 +161,7 @@ class ExtractAudioFeatures:
 
     def __init__(self, sample_rate: int = 16000,
                  use_real_decoder: bool = False):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         self.sample_rate = sample_rate
         self.librosa = None
         if use_real_decoder:  # explicit opt-in, same rationale as
@@ -203,6 +205,7 @@ class SampleFrames:
     null), the declared stub."""
 
     def __init__(self, every_n: int = 10, max_frames: int = 4):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         self.every_n = every_n
         self.max_frames = max_frames
 

@@ -47,19 +47,22 @@ def read_command(command: str, now, watermark: Watermark | None = None,
     if "$QUERY_TIME" in command:
         if watermark is None:
             raise ValueError("$QUERY_TIME needs a watermark")
-        import os
-        last = (watermark.read() if os.path.exists(watermark.path)
-                else DEFAULT_QUERY_TIME)
-        cmd = cmd.replace("$QUERY_TIME", last)
+        watermark.initial = DEFAULT_QUERY_TIME  # century default (js:26)
+        cmd = cmd.replace("$QUERY_TIME", watermark.read())
     proc = subprocess.run(cmd, shell=True, capture_output=True)
     out = proc.stdout[:max_buffer]
     if len(proc.stdout) > max_buffer:
-        out = out[:out.rfind(b"\n") + 1]
+        nl = out.rfind(b"\n")
+        if nl != -1:  # one giant line: keep the capped bytes whole
+            out = out[:nl + 1]
     lines = out.decode("utf-8", "replace").splitlines()
     if include_stderr:
         lines += proc.stderr[:max_buffer].decode(
             "utf-8", "replace").splitlines()
-    if watermark is not None and "$QUERY_TIME" in command:
+    # advance only on success: a failed poll (connection refused etc.)
+    # must re-read its window next run, never skip it
+    if (watermark is not None and "$QUERY_TIME" in command
+            and proc.returncode == 0):
         watermark.write(now.strftime(date_format))
     src = command  # sourceName defaults to the command (js:49-51)
     tbl = pa.table({"text": pa.array(lines, pa.string()),

@@ -44,8 +44,7 @@ def load_geolite_city_csv(blocks_csv: str, locations_csv: str):
     Blocks whose geoname_id is missing keep null location fields, like
     the mmdb's anonymous ranges.
     """
-    blocks = pacsv.read_csv(blocks_csv).select(
-        [c for c in BLOCK_COLS if True])
+    blocks = pacsv.read_csv(blocks_csv).select(BLOCK_COLS)
     locs = pacsv.read_csv(locations_csv)
     locs = locs.select([c for c in LOC_COLS])
 
@@ -145,6 +144,13 @@ class GeoCityEnricher:
             vals_o = np.where(hit, self.t[col][ic], None)
             out = out.append_column(name, pa.array(vals_o.tolist(),
                                                    pa.string()))
+        # geoip.js also surfaces the block's location (geoip.js:20-53);
+        # emitting lat/lon means the compiled arrays earn their RAM
+        for name, col in (("geo_lat", "lat"), ("geo_lon", "lon")):
+            v = np.where(hit, self.t[col][ic].astype(np.float64), np.nan)
+            out = out.append_column(
+                name, pa.array([None if x != x else float(x)
+                                for x in v], pa.float64()))
         return out
 
 

@@ -45,7 +45,8 @@ class Watermark:
 def read_sql_incremental_distributed(
         query: str, watermark: Watermark, db_path: str,
         ts_col: str = "ts", shard_keys: list[str] | None = None,
-        num_blocks: int | None = None) -> "ray.data.Dataset":
+        num_blocks: int | None = None,
+        advance: str = "on_build") -> "ray.data.Dataset":
     """The cluster-scale variant of :func:`read_sql_incremental`: the
     watermark-substituted query runs through ``ray.data.read_sql`` so
     row fetching happens in WORKER tasks (optionally sharded by
@@ -55,9 +56,17 @@ def read_sql_incremental_distributed(
     (/root/reference/lib/plugins/input/mysql.js:14-68) — the factory is
     the only thing a real deployment swaps.
 
-    Watermark advance stays driver-side as ``SELECT max(ts)`` pushed to
-    the database (one scalar over the wire), so the Dataset itself is
-    still lazy/streaming when this returns.
+    Window semantics: the high bound ``hi = max(ts)`` is probed FIRST
+    (one scalar over the wire) and every sub-query is bounded
+    ``ts <= hi``, so all shards read the same snapshot window even
+    though the lazy reads execute later while rows keep arriving.
+    ``advance="on_build"`` (default) then moves the watermark to ``hi``
+    immediately — the reference's own order of operations
+    (command.js:80-81 stamps lastRun before the output is consumed),
+    at-most-once across a crash between build and consumption. Pass
+    ``advance="manual"`` for at-least-once: the caller commits
+    ``watermark.write(str(ds.watermark_hi))`` only after the pipeline
+    has durably consumed the window.
 
     Sharding note: Ray's built-in ``shard_keys`` emits
     ``MOD(ABS(MD5(col)), N)`` which several dialects (DuckDB included)
@@ -68,6 +77,12 @@ def read_sql_incremental_distributed(
     """
     import duckdb
     q = query.replace("$QUERY_TIME", f"'{watermark.read()}'")
+
+    con = duckdb.connect(db_path, read_only=True)
+    hi = con.sql(f"SELECT max({ts_col}) FROM ({q})").fetchone()[0]
+    con.close()
+    if hi is not None:
+        q = f"SELECT * FROM ({q}) _w WHERE {ts_col} <= '{hi}'"
 
     def factory():
         return duckdb.connect(db_path, read_only=True)
@@ -82,11 +97,9 @@ def read_sql_incremental_distributed(
         ds = parts[0].union(*parts[1:])
     else:
         ds = ray.data.read_sql(q, factory)
-    con = duckdb.connect(db_path, read_only=True)
-    hi = con.sql(f"SELECT max({ts_col}) FROM ({q})").fetchone()[0]
-    con.close()
-    if hi is not None:
+    if hi is not None and advance == "on_build":
         watermark.write(str(hi))
+    ds.watermark_hi = hi
     return ds
 
 

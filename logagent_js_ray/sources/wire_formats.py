@@ -261,6 +261,8 @@ def gelf_chunk_split(batch: pa.Table,
         total[idx] = _bytes_at(sub, 11, 1, np.uint8)
     payload = pc.if_else(is_chunk, pc.binary_slice(dg, 12, 1 << 30), dg)
     cols = {c: batch[c] for c in batch.column_names if c != datagram_col}
+    cols["gelf_chunked"] = is_chunk  # NOT a msg_id sentinel: a spec-
+    # random id of 0xFF..FF wraps to -1 and must still reassemble
     cols["gelf_msg_id"] = pa.array(msg_id)
     cols["gelf_seq"] = pa.array(seq)
     cols["gelf_total"] = pa.array(total)
@@ -275,10 +277,10 @@ def gelf_reassemble(ds: "ray.data.Dataset",
     Python-priced — repo rule), then order-by-(msg_id, seq) binary join
     per message inside the bucket. Messages missing chunks
     (count != gelf_total) are dropped, like a reassembly timeout.
-    Unchunked rows (msg_id -1) never enter the per-message merge: each
-    is already a whole document, so they keep msg_id -1, are spread
-    round-robin over the buckets (no hot key), and pass through
-    one-to-one. Returns (gelf_msg_id, message:string)."""
+    Unchunked rows (``gelf_chunked`` false) never enter the per-message
+    merge: each is already a whole document, so they are spread
+    round-robin over the buckets (no hot key) and pass through
+    one-to-one with msg_id -1. Returns (gelf_msg_id, message:string)."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -287,14 +289,14 @@ def gelf_reassemble(ds: "ray.data.Dataset",
         mid = b["gelf_msg_id"].to_numpy(zero_copy_only=False)
         bkt = ((mid * np.int64(0x9E3779B9)) & (num_buckets - 1)) \
             .astype(np.int32)
-        un = mid == -1
+        un = ~b["gelf_chunked"].to_numpy(zero_copy_only=False)
         if un.any():
             bkt[un] = (np.arange(len(mid))[un] % num_buckets) \
                 .astype(np.int32)
         return b.append_column("_b", pa.array(bkt))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        un = g["gelf_msg_id"].to_numpy() == -1
+        un = ~g["gelf_chunked"].to_numpy()
         frames = []
         if un.any():
             frames.append(pd.DataFrame({
