@@ -32,3 +32,25 @@ def test_command_stderr_opt_in(ray_session):
     loud = read_command("echo out; echo err 1>&2", now,
                         include_stderr=True)
     assert sorted(r["text"] for r in loud.take_all()) == ["err", "out"]
+
+
+def test_command_failure_does_not_advance_watermark(ray_session, tmp_path):
+    from logagent_js_ray.sources.command_source import read_command
+    from logagent_js_ray.sources.sql_source import Watermark
+    wm = Watermark(str(tmp_path / "wm.txt"))
+    now1 = datetime.datetime(2024, 1, 2, 3, 0, 0)
+    read_command("echo ok since=$QUERY_TIME", now1, watermark=wm)
+    now2 = datetime.datetime(2024, 1, 2, 4, 0, 0)
+    ds = read_command("echo partial since=$QUERY_TIME; exit 3", now2,
+                      watermark=wm)
+    assert [r["text"] for r in ds.take_all()] == \
+        ["partial since=2024-01-02T03:00:00"]
+    # failed poll: watermark still at the last SUCCESSFUL run's now
+    assert wm.read() == "2024-01-02T03:00:00"
+
+
+def test_command_single_giant_line_kept(ray_session):
+    from logagent_js_ray.sources.command_source import read_command
+    now = datetime.datetime(2024, 1, 1)
+    ds = read_command("printf 'xxxxxxxxxxxxxxxxxxxx'", now, max_buffer=8)
+    assert [r["text"] for r in ds.take_all()] == ["xxxxxxxx"]

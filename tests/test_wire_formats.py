@@ -124,3 +124,23 @@ def test_gelf_chunk_roundtrip(ray_session):
     assert json.loads(out[9])["short_message"] == "hé" * 99
     assert json.loads(out[-1])["short_message"] == "whole"
     assert 11 not in out  # incomplete: dropped like a reassembly timeout
+
+
+def test_gelf_msg_id_all_ff_still_reassembles(ray_session):
+    # 0xFF..FF wraps to int64 -1; the explicit gelf_chunked flag (not a
+    # sentinel) must keep it a normal chunked message
+    import ray.data
+
+    from logagent_js_ray.sources.wire_formats import (gelf_chunk_split,
+                                                      gelf_reassemble)
+    payload = b'{"short_message":"edge"}'
+    mid = b"\xff" * 8
+    parts = [payload[:12], payload[12:]]
+    dgs = [b"\x1e\x0f" + mid + bytes([i, 2]) + p
+           for i, p in enumerate(parts)]
+    ds = ray.data.from_arrow(pa.table({"datagram": dgs}))
+    out = gelf_reassemble(ds.map_batches(gelf_chunk_split,
+                                         batch_format="pyarrow"),
+                          num_buckets=4).take_all()
+    assert len(out) == 1
+    assert out[0]["message"] == payload.decode()
