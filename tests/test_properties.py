@@ -138,3 +138,87 @@ def test_ip_truncate_zeroes_last_octet(ips):
     out = truncate_ipv4(vals)
     for (a, b, c, _), got in zip(ips, out):
         assert got == f"{a}.{b}.{c}.0"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+
+    from logagent_js_ray.ops.media_codecs import decode_bmp, encode_bmp
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(1, 400), seed=st.integers(0, 2**31 - 1),
+       rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_any_signal(n, seed, rate):
+    import numpy as np
+
+    from logagent_js_ray.ops.media_codecs import (decode_wav_pcm16,
+                                                  encode_wav_pcm16)
+    sig = np.random.default_rng(seed).uniform(-1, 1, n)
+    dec, r = decode_wav_pcm16(encode_wav_pcm16(sig, rate))
+    assert r == rate and len(dec) == n
+    assert np.abs(dec - sig).max() < 1e-3
+
+
+@settings(max_examples=100, deadline=None)
+@given(pri=st.integers(0, 191), host=IDENT, tag=IDENT,
+       pid=st.integers(0, 99999), msg=SAFE_TEXT)
+def test_syslog_3164_parse_total(pri, host, tag, pid, msg):
+    from logagent_js_ray.stages.formats import (SYSLOG_FACILITY,
+                                                syslog_frame_parse)
+    from logagent_js_ray.functions.transforms import SYSLOG_SEVERITY
+    line = f"<{pri}>Oct 11 22:14:15 {host} {tag}[{pid}]: {msg}"
+    out = syslog_frame_parse(pa.table({"text": [line]}))
+    assert out["severity"][0].as_py() == SYSLOG_SEVERITY[pri & 7].as_py()
+    assert out["facility"][0].as_py() == \
+        SYSLOG_FACILITY[pri >> 3].as_py()
+    assert out["syslog_host"][0].as_py() == host
+    assert out["syslog_tag"][0].as_py() == tag
+    assert out["syslog_pid"][0].as_py() == pid
+    assert out["message"][0].as_py() == msg
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+    min_size=0, max_size=200), min_size=1, max_size=8),
+    chunk=st.integers(4, 64))
+def test_gelf_chunk_roundtrip_any_payload(texts, chunk):
+    import json as _json
+
+    from logagent_js_ray.sources.wire_formats import gelf_chunk_split
+    # split-side invariant only (reassembly needs Ray): headers parse
+    # back to the exact (id, seq, total) written and payloads concat to
+    # the original bytes
+    dgs, originals = [], {}
+    for mid, t in enumerate(texts):
+        payload = _json.dumps({"m": t}).encode()
+        parts = [payload[i:i + chunk]
+                 for i in range(0, len(payload), chunk)] or [b""]
+        if len(parts) > 255:
+            continue
+        originals[mid] = payload
+        midb = mid.to_bytes(8, "little", signed=True)
+        dgs += [b"\x1e\x0f" + midb + bytes([i, len(parts)]) + p
+                for i, p in enumerate(parts)]
+    if not dgs:
+        return
+    out = gelf_chunk_split(pa.table({"datagram": pa.array(
+        dgs, pa.binary())}))
+    joined: dict = {}
+    for mid, seq, total, pl, ch in zip(
+            out["gelf_msg_id"].to_pylist(), out["gelf_seq"].to_pylist(),
+            out["gelf_total"].to_pylist(), out["payload"].to_pylist(),
+            out["gelf_chunked"].to_pylist()):
+        assert ch
+        joined.setdefault(mid, {})[seq] = pl
+    for mid, payload in originals.items():
+        got = b"".join(v for _, v in sorted(joined[mid].items()))
+        assert got == payload
