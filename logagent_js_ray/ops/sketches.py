@@ -98,8 +98,13 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
                                           batch_format="pandas",
                                           batch_size=None).to_pandas()
     n_total = int(root.loc[root["_is_total"], "rows_seen"].sum())
-    candidates = set(root.loc[~root["_is_total"], col])
-    if not candidates:
+    cand_series = root.loc[~root["_is_total"], col]
+    # pandas renders a null candidate as NaN; 'v in {nan}' is False for
+    # None, so a null value that IS a heavy hitter would silently vanish
+    # from the EXACT output — track null candidacy explicitly
+    null_candidate = bool(cand_series.isna().any())
+    candidates = set(cand_series.dropna())
+    if not candidates and not null_candidate:
         return pd.DataFrame({col: pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64)})
 
@@ -107,11 +112,15 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
     cand_ref = ray.put(candidates)
 
     def keep_candidates(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cands = ray.get(cand_ref)
-        vals = b[col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((v in cands for v in vals), dtype=bool,
-                           count=len(vals))
-        return b.filter(pa.array(mask))
+        # vectorized C++ membership, not a per-row Python loop
+        mask = pc.is_in(b[col], value_set=pa.array(list(cands)),
+                        skip_nulls=True) if cands else \
+            pa.array([False] * b.num_rows)
+        if null_candidate:
+            mask = pc.or_(mask, pc.is_null(b[col]))
+        return b.filter(pc.fill_null(mask, null_candidate))
 
     exact = agg_counts(ds.map_batches(keep_candidates,
                                       batch_format="pyarrow",
@@ -213,7 +222,11 @@ def approx_quantiles(ds: "ray.data.Dataset", col: str,
             .map_batches(merge, batch_format="pandas", batch_size=None)
             .repartition(1)
             .map_batches(merge, batch_format="pandas", batch_size=None)
-            .to_pandas().sort_values("q_val"))
+            .to_pandas())
+    if len(root) == 0:  # empty / all-null input: NaN per quantile
+        return pd.DataFrame({"quantile": list(qs),
+                             "value": [np.nan] * len(qs)})
+    root = root.sort_values("q_val")
     v = root["q_val"].to_numpy()
     cum = np.cumsum(root["q_w"].to_numpy())
     total = cum[-1]

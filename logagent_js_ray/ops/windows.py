@@ -41,6 +41,16 @@ def sessionize(ds: "ray.data.Dataset", key: str = "user_id",
             "_b", pa.array(coarse_bucket_array(arr, num_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # null keys: pandas ne()/groupby treat NaN as never-equal /
+        # droppable, which would crash the ordinal cast and split every
+        # null row into its own session — SQL groups nulls together, so
+        # mask them through one sentinel and restore on output
+        null_key = g[key].isna()
+        if null_key.any():
+            g = g.copy()
+            g["_key_isnull"] = null_key
+            g[key] = g[key].fillna(
+                -1 if pd.api.types.is_numeric_dtype(g[key]) else "\0null")
         # one sort + one cumsum sessionizes EVERY key in the bucket:
         # a session break is a key change or a gap > threshold
         g = g.sort_values([key, ts_col], kind="mergesort")
@@ -58,9 +68,15 @@ def sessionize(ds: "ray.data.Dataset", key: str = "user_id",
         out.insert(1, "session_id",
                    out.groupby(key, sort=False).cumcount().astype(np.int64))
         if value_col and value_col in g.columns:
+            # SQL SUM semantics: nulls skipped, all-null group -> NULL
+            # (nullable Int64 round-trips to int64-with-nulls in Arrow)
+            cents = (g[value_col] * 100).round()
             out["sum_value_cents"] = (
-                (g[value_col] * 100).round().astype("int64")
-                .groupby(blk.values).sum())
+                cents.groupby(blk.values).sum(min_count=1)
+                .astype("Int64"))
+        if null_key.any():
+            restored = gg["_key_isnull"].first()
+            out.loc[restored.values, key] = None
         return out.reset_index(drop=True)
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -80,7 +96,15 @@ def tumbling(ds: "ray.data.Dataset", key: str, ts_col: str = "ts",
     def bucket(b: pa.Table) -> pa.Table:
         unit_us = minutes * 60 * 1_000_000
         ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
-        win = pc.multiply(pc.divide(ts, unit_us), unit_us)
+        # numpy // is FLOOR division — pc.divide truncates toward zero,
+        # which would put pre-epoch events in a window AFTER themselves
+        t = ts.to_numpy(zero_copy_only=False)
+        if t.dtype.kind == "f":  # nulls forced a float conversion
+            w = np.floor(t / unit_us) * unit_us
+            win = pa.array([None if x != x else int(x) for x in w],
+                           pa.int64())
+        else:
+            win = pa.array((t // unit_us) * unit_us, pa.int64())
         return b.append_column("window", pc.cast(win, pa.timestamp("us")))
 
     ds = ds.map_batches(bucket, batch_format="pyarrow", batch_size=None)

@@ -24,6 +24,7 @@ hatch — a shared mutable aggregate fed from inside a streaming pass.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -68,13 +69,25 @@ class CubeAccumulator:
         return len(self.parts)
 
 
-def _batch_key(batch: pa.Table) -> int:
-    """Content fingerprint of a batch (stable across task retries)."""
-    c0 = str(batch["conv_id"][0].as_py())
-    cl = str(batch["conv_id"][-1].as_py())
-    t0 = int(batch["turn_idx"][0].as_py())
-    tl = int(batch["turn_idx"][-1].as_py())
-    return zlib.crc32(f"{c0}:{t0}:{cl}:{tl}:{batch.num_rows}".encode())
+def _batch_key(batch: pa.Table) -> str:
+    """Content fingerprint of a batch (stable across task retries).
+
+    128-bit md5 over the FULL key columns, not a crc32 of boundary rows:
+    with thousands of batches a 32-bit boundary fingerprint collides at
+    birthday rates (and deterministically when boundary rows repeat),
+    and a collision makes the accumulator's last-write-wins dedup drop a
+    whole batch partial — a silent cube undercount. Hashing the two key
+    columns' raw bytes is one memcpy + md5 pass (~GB/s), negligible next
+    to the parse work."""
+    h = hashlib.md5()
+    for col in ("conv_id", "turn_idx"):
+        arr = batch[col].combine_chunks() if isinstance(
+            batch[col], pa.ChunkedArray) else batch[col]
+        for buf in arr.buffers():
+            if buf is not None:
+                h.update(buf)
+    h.update(str(batch.num_rows).encode())
+    return h.hexdigest()
 
 
 class FlagshipStage:

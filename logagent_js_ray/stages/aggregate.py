@@ -49,7 +49,13 @@ def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
     pattern everywhere (ops/joins, ops/windows, partitioned
     tree_merge): group on the bucket, segment exact keys inside."""
     if pa.types.is_integer(arr.type):
-        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls BEFORE to_numpy: a block with any null converts to
+        # float64, and ids above 2^53 then lose low bits — the same key
+        # would land in different buckets depending on which block it
+        # shared with a null (null itself gets bucket of 0; co-locating
+        # all nulls anywhere is fine, splitting a real key is not)
+        v = pc.fill_null(arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         return ((v * _KNUTH) >> np.uint64(33)).astype(np.int64) % num_buckets
     vals = arr.to_pylist()
     return np.array([zlib.crc32(str(v).encode()) % num_buckets
@@ -99,7 +105,17 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
         parts = {}
         for col, how in spec.items():
             if how == "sum":
-                parts[col] = g[col].sum(min_count=1)
+                s = g[col].sum(min_count=1)
+                # a null partial (all-null group in one block) flips the
+                # pandas column to float64 and the flipped dtype would
+                # leak into the output data-dependently; every sum in
+                # this repo is integral by convention (cents/counts), so
+                # restore nullable Int64 when the values allow it
+                if (s.dtype == np.float64
+                        and np.isfinite(s.dropna()).all()
+                        and (s.dropna() == np.rint(s.dropna())).all()):
+                    s = s.astype("Int64")
+                parts[col] = s
             elif how == "min":
                 parts[col] = g[col].min()
             elif how == "max":
@@ -164,14 +180,14 @@ def agg_counts(ds: "ray.data.Dataset", keys: list[str],
 
 def salt_column(batch: pa.Table, key_col: str, buckets: int = 16,
                 salt_col: str = "_salt") -> pa.Table:
-    """Append ``hash(key) % buckets`` — used to split a hot key's rows
-    across ``buckets`` sub-groups before a ``map_groups``/shuffle, merged
-    by a second, tiny aggregate (north_rule's skew-aware salting)."""
-    import numpy as np
-    import zlib
+    """Append ``(hash(key) + row_position) % buckets`` — the row-position
+    mix is the point: it SPLITS a hot key's rows round-robin across
+    ``buckets`` sub-groups (pure ``hash(key)`` would put the whole hot
+    key back in one group) before a ``map_groups``/shuffle; a second,
+    tiny aggregate merges the sub-results (north_rule's skew-aware
+    salting). Salt values therefore depend on batch row order — only
+    aggregations whose merge is order-independent may use this."""
     keys = batch[key_col].to_pylist()
-    n = batch.num_rows
-    # deterministic per-row sub-bucket: hash(key) mixed with row position
     salts = np.array([(zlib.crc32(str(k).encode()) + i) % buckets
                       for i, k in enumerate(keys)], dtype=np.int32)
     return batch.append_column(salt_col, pa.array(salts, pa.int32()))

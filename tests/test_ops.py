@@ -337,3 +337,74 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     expect = round(1e6 * ngram_jaccard(docs[0], docs[1], 3))
     assert out[(0, 1)] == expect and out[(1, 3)] == expect
     assert (0, 2) not in out and (2, 3) not in out
+
+
+def test_sessionize_null_keys_and_values(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.windows import sessionize
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = [0, 5, 90, 0, 200]
+    tbl = pa.table({
+        "user_id": pa.array([None, None, None, 7, 7], pa.int64()),
+        "ts": pa.array([t0 + datetime.timedelta(minutes=m)
+                        for m in mins], pa.timestamp("us")),
+        "value": pa.array([1.0, None, 2.0, None, None], pa.float64()),
+    })
+    out = sessionize(ray.data.from_arrow(tbl), gap_minutes=30.0,
+                     num_buckets=4).to_pandas()
+    nulls = out[out["user_id"].isna()].sort_values("session_id")
+    # nulls group together (SQL semantics), split only by the time gap
+    assert list(nulls["n_events"]) == [2, 1]
+    assert list(nulls["sum_value_cents"]) == [100, 200]
+    sevens = out[out["user_id"] == 7]
+    assert list(sevens["n_events"]) == [1, 1]
+    assert sevens["sum_value_cents"].isna().all()  # all-null -> NULL
+
+
+def test_heavy_hitters_null_item(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.sketches import heavy_hitters
+    vals = [None] * 50 + ["a"] * 45 + [f"x{i}" for i in range(5)]
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.string())}))
+    out = heavy_hitters(ds, "k", threshold_num=1, threshold_den=4)
+    got = {(None if v != v else v) if not isinstance(v, str) else v: n
+           for v, n in zip(out["k"], out["n"])}
+    assert got.get("a") == 45
+    assert got.get(None) == 50  # the null heavy hitter must surface
+
+
+def test_approx_quantiles_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.sketches import approx_quantiles
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    out = approx_quantiles(ds, "v")
+    assert list(out["quantile"]) == [0.5, 0.9, 0.99]
+    assert np.isnan(out["value"]).all()
+
+
+def test_tumbling_pre_epoch_floor(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.windows import tumbling
+    ts = [datetime.datetime(1969, 12, 31, 23, 50),
+          datetime.datetime(1970, 1, 1, 0, 10)]
+    tbl = pa.table({"k": ["a", "a"],
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    out = tumbling(ray.data.from_arrow(tbl), key="k",
+                   minutes=15).to_pandas()
+    wins = sorted(out["window"])
+    # floor semantics: the pre-epoch event belongs to 23:45, not 00:00
+    assert wins[0] == datetime.datetime(1969, 12, 31, 23, 45)
+    assert wins[1] == datetime.datetime(1970, 1, 1, 0, 0)
