@@ -58,9 +58,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 7):
+    # a,b bounded to 31 bits and shingle hashes to 32: the product
+    # a*sh + b then peaks below 2^63, so the uint64 arithmetic in
+    # minhash_signature cannot wrap before the Mersenne mod (full-width
+    # params silently wrapped mod 2^64, destroying the hash family)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    a = rng.integers(1, 1 << 31, num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -99,7 +103,7 @@ def _shingle_hashes(text: str, k: int = 3,
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 3, token_cache: dict | None = None) -> np.ndarray:
-    sh = _shingle_hashes(text, k, token_cache)
+    sh = _shingle_hashes(text, k, token_cache) & np.uint64(0xFFFFFFFF)
     # (num_perm, n_shingles) universal hashing, min over shingles
     vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1)
@@ -116,6 +120,9 @@ class MinHasher:
         self.token_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray emits empty blocks routinely
+            return batch.append_column(
+                "minhash", pa.array([], pa.list_(pa.uint64())))
         texts = batch["text"].to_numpy(zero_copy_only=False)
         sigs = np.stack([minhash_signature(t, self.a, self.b, self.k,
                                            self.token_cache)
@@ -164,6 +171,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     shingle -> minhash (actor pool) -> band explode -> groupby(band,
     band_hash) -> per-bucket pairwise signature-Jaccard -> global pair
     dedup (a pair can collide in several bands)."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
     coarse = 64
     sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
@@ -238,26 +248,40 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                   max_hamming: int = 3) -> "ray.data.Dataset":
-    """Near-dup pairs by simhash: 4-way band blocking (two colliding docs
-    within hamming distance 3 share at least one 16-bit band), verify
-    hamming distance inside each bucket."""
+    """Near-dup pairs by simhash band blocking with the band count tied
+    to the threshold: two 64-bit hashes within hamming distance d differ
+    in at most d bands, so splitting into ``d + 1`` bands guarantees
+    (pigeonhole) colliding docs share at least one band — a FIXED 4-band
+    layout silently lost recall for any max_hamming > 3. Hamming is
+    verified exactly inside each bucket."""
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
 
     coarse = 64
+    n_bands = min(max(2, max_hamming + 1), 32)
+    width = 64 // n_bands
+    # per-band bit windows; the last band absorbs the remainder bits
+    shifts_v = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+    widths_v = np.full(n_bands, width, np.uint64)
+    widths_v[-1] = np.uint64(64) - shifts_v[-1]
+    masks_v = np.where(widths_v >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                       (np.uint64(1) << widths_v) - np.uint64(1))
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(ids)
-        out_id = np.repeat(ids, 4)
-        out_band = np.tile(np.arange(4, dtype=np.int32), n)
-        shifts = (np.tile(np.arange(4, dtype=np.uint64), n) * np.uint64(16))
-        out_key = ((np.repeat(sh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        out_id = np.repeat(ids, n_bands)
+        out_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        shifts = np.tile(shifts_v, n)
+        masks = np.tile(masks_v, n)
+        out_key = ((np.repeat(sh, n_bands) >> shifts) & masks) \
+            .astype(np.int64)
         return pa.table({id_col: pa.array(out_id),
                          "band": pa.array(out_band),
                          "coarse": pa.array(out_key % coarse, pa.int32()),
                          "band_key": pa.array(out_key),
-                         "simhash": pa.array(np.repeat(sh, 4).astype(np.int64))})
+                         "simhash": pa.array(
+                             np.repeat(sh, n_bands).astype(np.int64))})
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -438,6 +462,13 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
                                   else ds.count())
     n_coarse = max(64, min(1 << 14, 1 << max(0, n_planes - 6)))
     def bucketize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], b[id_col].type),
+                vec_col: pa.array([], b[vec_col].type),
+                "lsh_table": pa.array([], pa.int32()),
+                "lsh_bucket": pa.array([], pa.int64()),
+                "coarse": pa.array([], pa.int32())})
         vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False))
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables, vecs.shape[1], n_planes))

@@ -25,6 +25,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+
+def _empty_topk(batch: pa.Table, id_col: str) -> pa.Table:
+    return pa.table({"query_idx": pa.array([], pa.int32()),
+                     id_col: pa.array([], batch[id_col].type),
+                     "cosine": pa.array([], pa.float64())})
+
+
 class BruteForceScorer:
     """Actor-pool stage: the normalized query matrix is resolved ONCE per
     actor from the broadcast ref; per batch = one matmul + local top-k."""
@@ -39,6 +46,8 @@ class BruteForceScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray emits empty blocks routinely
+            return _empty_topk(batch, self.id_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         vecs = _normalize(np.stack(
             batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
@@ -47,12 +56,15 @@ class BruteForceScorer:
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
             k = min(self.k, len(ids))
-            top = np.argpartition(-col, k - 1)[:k]
+            # lexsort honors the documented (-cosine, id) tiebreak even
+            # AT the k boundary (argpartition dropped tied low ids)
+            top = np.lexsort((ids, -col))[:k]
             out_q.extend([qi] * k)
             out_id.extend(ids[top])
             out_sim.extend(col[top])
         return pa.table({"query_idx": pa.array(out_q, pa.int32()),
-                         self.id_col: pa.array(out_id),
+                         self.id_col: pa.array(
+                             out_id, batch[self.id_col].type),
                          "cosine": pa.array(out_sim, pa.float64())})
 
 
@@ -111,6 +123,8 @@ class LSHIndexScorer:
             self.q_buckets.append(probes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(batch, self.id_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         vecs = np.stack(
             batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -125,12 +139,13 @@ class LSHIndexScorer:
             col = nv[mask] @ self.q[qi]
             sel = ids[mask]
             k = min(self.k, len(sel))
-            top = np.argpartition(-col, k - 1)[:k]
+            top = np.lexsort((sel, -col))[:k]
             out_q.extend([qi] * k)
             out_id.extend(sel[top])
             out_sim.extend(col[top])
         return pa.table({"query_idx": pa.array(out_q, pa.int32()),
-                         self.id_col: pa.array(out_id),
+                         self.id_col: pa.array(
+                             out_id, batch[self.id_col].type),
                          "cosine": pa.array(out_sim, pa.float64())})
 
 
@@ -206,6 +221,8 @@ class IVFScorer:
                        for row in qsims]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(batch, self.id_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         vecs = _normalize(np.stack(
             batch[self.vec_col].to_numpy(zero_copy_only=False)
@@ -219,12 +236,13 @@ class IVFScorer:
             col = vecs[mask] @ self.q[qi]
             sel = ids[mask]
             k = min(self.k, len(sel))
-            top = np.argpartition(-col, k - 1)[:k]
+            top = np.lexsort((sel, -col))[:k]
             out_q.extend([qi] * k)
             out_id.extend(sel[top])
             out_sim.extend(col[top])
         return pa.table({"query_idx": pa.array(out_q, pa.int32()),
-                         self.id_col: pa.array(out_id),
+                         self.id_col: pa.array(
+                             out_id, batch[self.id_col].type),
                          "cosine": pa.array(out_sim, pa.float64())})
 
 
@@ -265,6 +283,9 @@ def build_ivf_index(ds: "ray.data.Dataset", centroids: np.ndarray,
     c_ref = ray.put(np.asarray(centroids, np.float64))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list",
+                                       pa.array([], pa.int32()))
         cents = ray.get(c_ref)
         vecs = _normalize(np.stack(
             batch[vec_col].to_numpy(zero_copy_only=False)

@@ -101,7 +101,11 @@ def _replace_in_message(msg: np.ndarray, old: np.ndarray,
     # only; we preserve that exactly)
     for i in range(len(msg)):
         m, o = msg[i], old[i]
-        if m is not None and o is not None and o != "" and o in m:
+        if m is None or o is None:
+            continue
+        if not isinstance(o, str):  # int64 ids etc: JS coerces, so do we
+            o = str(o)
+        if o != "" and o in m:
             m2 = new[i] if new[i] is not None else ""
             msg[i] = m.replace(o, m2, 1)
     return msg
@@ -215,7 +219,16 @@ def mask_batch(batch: pa.Table, cfg: MaskConfig) -> pa.Table:
     for name, arr in cols.items():
         idx = out.schema.get_field_index(name)
         typ = out.schema.field(idx).type
-        out = out.set_column(idx, name, pa.array(arr.tolist(), typ))
+        vals = arr.tolist()
+        try:
+            va = pa.array(vals, typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # masking a non-string column (hash/ip/aes of an int64 id)
+            # yields strings; the column type follows, like the
+            # reference's in-place JSON value replacement
+            va = pa.array([None if v is None else str(v) for v in vals],
+                          pa.string())
+        out = out.set_column(idx, name, va)
     if cfg.rename_fields:
         out = out.rename_columns([cfg.rename_fields.get(c, c)
                                   for c in out.column_names])

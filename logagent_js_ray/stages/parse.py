@@ -138,8 +138,11 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
     n = batch.num_rows
     schema_fields = registry.output_schema_fields()
     acc = _Acc(n, schema_fields)
-    text = pc.cast(batch[text_col], pa.string())
-    role = batch[source_col]
+    # fill nulls up front: pc.and_ is non-Kleene here, and a single null
+    # text/role row would otherwise poison the boolean mask accumulation
+    # (null -> object-dtype numpy -> `drop |= dm` raises)
+    text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    role = pc.fill_null(pc.cast(batch[source_col], pa.string()), "")
     row_ts = batch[ts_col]
 
     matched = pa.array(np.zeros(n, dtype=bool))
@@ -183,7 +186,14 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
                     obj = json_transform(roles_np[i], obj) or obj
                 except Exception:
                     pass
-            msg[i] = obj.pop("message", None)
+            m = obj.pop("message", None)
+            if m is not None and not isinstance(m, str):
+                # numeric / nested message values must not kill the
+                # batch's pa.array(..., string()) build (parser.js keeps
+                # whatever JSON.stringify renders)
+                m = json.dumps(m, sort_keys=True) \
+                    if isinstance(m, (dict, list)) else str(m)
+            msg[i] = m
             rest = {}
             for k, v in obj.items():
                 if k in promoted:
@@ -208,49 +218,91 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
         matched = pc.or_(matched, jmask)
 
     # ---- ordered pattern loop over the shrinking unmatched subset ----
+    # Each regex runs on text.take(unmatched) ONLY: with first-match-wins
+    # most rows match early, so tail patterns would otherwise re-scan
+    # nearly the whole batch for nothing. Extracted subset columns are
+    # scattered back to batch length with one null-index take per column.
+    entry_source = {}  # entry -> its group's source gate, built once
+    for g in registry.groups:
+        for m in g.match:
+            entry_source.setdefault(id(m), g.source)
+    matched_np = matched.to_numpy(zero_copy_only=False).copy()
     for entry in registry.all_entries():
-        todo = pc.invert(matched)
-        if not pc.any(todo).as_py():
+        if matched_np.all():
             break
-        ext = pc.extract_regex(text, entry.regex)
-        valid = pc.and_(pc.is_valid(ext), todo)
+        idx = np.flatnonzero(~matched_np)
+        take_idx = pa.array(idx)
+        sub_text = pc.take(text, take_idx)
+        ext = pc.extract_regex(sub_text, entry.regex)
+        valid_sub = pc.is_valid(ext)
         # sourceName routing gate (parser.js:170-196)
-        src_groups = [g for g in registry.groups if entry in g.match]
-        if src_groups and src_groups[0].source not in (".*", ""):
-            valid = pc.and_(valid, pc.match_substring_regex(
-                role, src_groups[0].source))
-        if not pc.any(valid).as_py():
+        src = entry_source.get(id(entry), ".*")
+        if src not in (".*", ""):
+            valid_sub = pc.and_(valid_sub, pc.match_substring_regex(
+                pc.take(role, take_idx), src))
+        vs = valid_sub.to_numpy(zero_copy_only=False)
+        if not vs.any():
             continue
+        valid_np = np.zeros(n, dtype=bool)
+        valid_np[idx[vs]] = True
+        valid = pa.array(valid_np)
+        # scatter map: full row -> its subset position (null elsewhere);
+        # pc.take with null indices nulls the gaps in one C++ pass
+        pos = np.zeros(n, dtype=np.int64)
+        pos[idx] = np.arange(len(idx))
+        pos_pa = pa.array(pos, mask=~valid_np)
+
+        def scatter(sub_arr):
+            return pc.take(sub_arr, pos_pa)
+
         cols: dict[str, pa.Array] = {f: pc.struct_field(ext, f)
                                      for f in entry.fields}
-        cols["message"] = text  # default: whole line (parser.js:514)
+        cols["message"] = sub_text  # default: whole line (parser.js:514)
         if entry.transform:
             get_transform(entry.transform)(cols)
         pattern_ts = None
         if entry.datefield and entry.datefield in cols:
-            pattern_ts = _parse_dates(cols.pop(entry.datefield), entry.dateformat)
+            pattern_ts = scatter(_parse_dates(cols.pop(entry.datefield),
+                                              entry.dateformat))
         for fname, ftype in entry.types.items():
             if ftype == "number" and fname in cols:
-                cols[fname] = pc.cast(cols[fname], pa.float64())
+                # tolerant typing (parser.js:264-299 Number() semantics):
+                # a non-numeric capture ('-', 'N/A') nulls the FIELD, it
+                # must not crash the batch's cast
+                sv = pc.cast(cols[fname], pa.string())
+                ok = pc.match_substring_regex(
+                    pc.fill_null(sv, ""),
+                    r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+                cols[fname] = pc.cast(
+                    pc.if_else(ok, sv, pa.scalar(None, pa.string())),
+                    pa.float64())
         for fname, arr in cols.items():
             if fname in acc.cols:
-                acc.merge(valid, fname, arr)
+                acc.merge(valid, fname, scatter(arr))
         if pattern_ts is not None:
             acc.merge(pc.and_(valid, pc.is_valid(pattern_ts)),
                       "@timestamp", pattern_ts)
         acc.merge(valid, "_type", pa.array([entry.type] * n, pa.string()))
         if entry.input_drop:
-            dm = pc.and_(valid, pc.match_substring_regex(text, entry.input_drop))
-            drop |= dm.to_numpy(zero_copy_only=False)
+            dm = pc.fill_null(pc.and_(valid_sub, pc.match_substring_regex(
+                sub_text, entry.input_drop)), False) \
+                .to_numpy(zero_copy_only=False)
+            dfull = np.zeros(n, dtype=bool)
+            dfull[idx[dm]] = True
+            drop |= dfull
         if entry.filter_name:
             # post-parse per-pattern drop predicate (parser.js:339-357):
             # keep-mask UDF over the extracted columns; False (not null)
             # on a matched row drops it, like logagentDropMessage
             keep = get_filter(entry.filter_name)(cols)
-            bad = pc.and_(valid, pc.invert(pc.fill_null(
-                pc.cast(keep, pa.bool_()), True)))
-            drop |= bad.to_numpy(zero_copy_only=False)
-        matched = pc.or_(matched, valid)
+            bad = pc.fill_null(pc.and_(valid_sub, pc.invert(pc.fill_null(
+                pc.cast(keep, pa.bool_()), True))), False) \
+                .to_numpy(zero_copy_only=False)
+            bfull = np.zeros(n, dtype=bool)
+            bfull[idx[bad]] = True
+            drop |= bfull
+        matched_np |= valid_np
+    matched = pa.array(matched_np)
 
     # ---- fallback record (parser.js:559-564) -------------------------
     unmatched = pc.invert(matched)
