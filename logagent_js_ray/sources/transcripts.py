@@ -14,6 +14,8 @@ from __future__ import annotations
 import glob
 import os
 
+import numpy as np
+
 import pyarrow as pa
 
 import ray.data
@@ -51,16 +53,30 @@ def read_lines(path: str, source_name: str | None = None) -> "ray.data.Dataset":
     deterministic."""
     name = source_name or os.path.basename(path)
 
-    def _to_rows(batch: dict) -> pa.Table:
-        texts = list(batch["text"])
-        n = len(texts)
+    def _file_to_rows(batch: pa.Table) -> pa.Table:
+        # one input row = one WHOLE file (read_binary_files), so line
+        # numbers are true per-file offsets — read_text + a per-batch
+        # range() restarted turn_idx every batch and silently corrupted
+        # the file's ordering for any file longer than one batch
+        out_conv, out_idx, out_text = [], [], []
+        for p, data in zip(batch["path"].to_pylist(),
+                           batch["bytes"].to_pylist()):
+            lines = data.decode("utf-8", "replace").splitlines()
+            conv = name if source_name else os.path.basename(p)
+            out_conv += [conv] * len(lines)
+            out_idx.append(np.arange(len(lines), dtype=np.int32))
+            out_text += lines
+        n = len(out_text)
+        idx = (np.concatenate(out_idx) if out_idx
+               else np.array([], np.int32))
         return pa.table({
-            "conv_id": pa.array([name] * n, pa.string()),
-            "turn_idx": pa.array(range(n), pa.int32()),
-            "role": pa.array([name] * n, pa.string()),
-            "text": pa.array(texts, pa.string()),
+            "conv_id": pa.array(out_conv, pa.string()),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "role": pa.array(out_conv, pa.string()),
+            "text": pa.array(out_text, pa.string()),
             "tool": pa.array(["none"] * n, pa.string()),
             "ts": pa.array([0] * n, pa.timestamp("us")),
         })
 
-    return ray.data.read_text(path).map_batches(_to_rows)
+    return ray.data.read_binary_files(path, include_paths=True) \
+        .map_batches(_file_to_rows, batch_format="pyarrow")

@@ -46,6 +46,7 @@ class Enricher:
 
     def __init__(self, lookup_ref, key: str, columns: list[str] | None = None,
                  detect_severity: bool = False):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         lookup: pa.Table = ray.get(lookup_ref) if not isinstance(
             lookup_ref, pa.Table) else lookup_ref
         self.key = key
@@ -71,8 +72,19 @@ class Enricher:
         out = batch
         for c in self.columns:
             out = out.append_column(c, self.values[c].take(take_idx))
-        if self.detect_severity and "severity" in out.column_names:
-            msg = out["message"] if "message" in out.column_names else out["text"]
+        if self.detect_severity:
+            if "message" in out.column_names:
+                msg = out["message"]
+            elif "text" in out.column_names:
+                msg = out["text"]
+            else:
+                return out  # nothing to scan
+            if "severity" not in out.column_names:
+                # the reference CREATES the field when autodetect fires
+                # (docker-log-enrichment.js); a missing column must not
+                # silently disable detection
+                out = out.append_column(
+                    "severity", pa.nulls(out.num_rows, pa.string()))
             head = pc.utf8_slice_codeunits(msg, 0, SEVERITY_DETECT_WINDOW)
             head_np = head.to_numpy(zero_copy_only=False)
             det = np.full(len(head_np), None, dtype=object)

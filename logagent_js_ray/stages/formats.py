@@ -106,8 +106,7 @@ def journald_format(batch: pa.Table) -> pa.Table:
     out_cols["facility"] = pc.cast(col("SYSLOG_FACILITY"), pa.float64())
     keep = [c for c in batch.column_names
             if not (c.startswith("_") or c.isupper())]
-    out = batch.select(keep) if keep else pa.table({})
-    res = batch.select(keep)
+    res = batch.select(keep)  # select([]) keeps num_rows; appends align
     for name, arr in out_cols.items():
         res = res.append_column(name, arr)
     return res
@@ -149,7 +148,7 @@ def make_cloudfoundry_format_fn(tag_keys: list[str],
         if "message" in batch.column_names:
             msg = pc.cast(batch["message"], pa.string())
             s = pc.utf8_trim_whitespace(pc.coalesce(msg, pa.scalar("")))
-            is_json = pc.match_substring_regex(s, r"^\[?\{.*\}\]?$")
+            is_json = pc.match_substring_regex(s, r"(?s)^\[?\{.*\}\]?$")
             batch = batch.append_column(
                 "cf_json", pc.if_else(is_json, msg,
                                       pa.scalar(None, pa.string())))
@@ -327,6 +326,7 @@ class GeoPrefixEnricher:
     REGIONS = ["na", "eu", "apac", "latam", "emea", "sa", "af", "oc"]
 
     def __init__(self, ip_col: str = "client_ip"):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         self.ip_col = ip_col
         # range table: starts at every /5 of the v4 space
         self.starts = np.arange(0, 1 << 32, (1 << 32) // 64, dtype=np.int64)
@@ -334,22 +334,11 @@ class GeoPrefixEnricher:
             [self.REGIONS[i % len(self.REGIONS)] for i in range(64)],
             dtype=object)
 
-    @staticmethod
-    def _ip_to_int(ip: str | None) -> int:
-        if not ip:
-            return -1
-        parts = ip.split(".")
-        if len(parts) != 4:
-            return -1
-        try:
-            return (int(parts[0]) << 24) | (int(parts[1]) << 16) | \
-                   (int(parts[2]) << 8) | int(parts[3])
-        except ValueError:
-            return -1
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ips = batch[self.ip_col].to_numpy(zero_copy_only=False)
-        vals = np.array([self._ip_to_int(ip) for ip in ips], dtype=np.int64)
+        # shared, validated vectorized converter (octet > 255 -> -1);
+        # the old per-row int() loop mapped '999.1.1.1' to a bogus region
+        from ..sources.geolite import _ips_to_int
+        vals = _ips_to_int(batch[self.ip_col])
         idx = np.searchsorted(self.starts, vals, side="right") - 1
         geo = np.where(vals >= 0, self.labels[np.clip(idx, 0, 63)], None)
         return batch.append_column("geo_region",
@@ -369,15 +358,19 @@ class DeviceDetector:
         ("curl", re.compile(r"curl/(?P<v>[\d.]+)")),
         ("bot", re.compile(r"(?i)(bot|crawler|spider)")),
     ]
+    # iOS MUST precede macOS: every iPhone/iPad UA contains
+    # 'like Mac OS X', so first-match-wins would otherwise classify all
+    # mobile Apple traffic as macOS
     OS_RULES = [
         ("Windows", re.compile(r"Windows NT")),
+        ("iOS", re.compile(r"(iPhone|iPad) OS|iPhone|iPad")),
         ("macOS", re.compile(r"Mac OS X")),
         ("Android", re.compile(r"Android")),
-        ("iOS", re.compile(r"(iPhone|iPad) OS|iPhone")),
         ("Linux", re.compile(r"Linux")),
     ]
 
     def __init__(self, ua_col: str = "user_agent"):
+        pa.set_cpu_count(1)  # actor-pool rule: no Arrow thread fan-out
         self.ua_col = ua_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -37,6 +37,7 @@ from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SUPPORTED = (
     "issues", "issue_comment", "pull_request", "pull_request_review",
@@ -155,11 +156,13 @@ def github_events_format(batch: pa.Table, event_col: str = "gh_event",
             recs.append(rec)
     passthrough = [c for c in batch.column_names
                    if c not in (event_col, body_col)]
-    out = batch.select(passthrough).take(pa.array(keep, pa.int64()))
+    # build from a dict: select([]).take() collapses a zero-column table
+    # to 0 rows and the record append then crashes on length mismatch
+    ki = pa.array(keep, pa.int64())
+    cols = {c: pc.take(batch[c], ki) for c in passthrough}
     for name in ("severity", "type", "title", "message"):
-        out = out.append_column(
-            name, pa.array([r[name] for r in recs], pa.string()))
-    return out
+        cols[name] = pa.array([r[name] for r in recs], pa.string())
+    return pa.table(cols)
 
 
 def _logs_record(event: str, body: dict) -> dict | None:
@@ -279,11 +282,11 @@ def github_logs_format(batch: pa.Table, event_col: str = "gh_event",
             recs.append(rec)
     passthrough = [c for c in batch.column_names
                    if c not in (event_col, body_col)]
-    out = batch.select(passthrough).take(pa.array(keep, pa.int64()))
+    ki = pa.array(keep, pa.int64())
+    cols = {c: pc.take(batch[c], ki) for c in passthrough}
     for name, typ in _LOGS_SCHEMA:
-        out = out.append_column(
-            name, pa.array([r[name] for r in recs], typ))
-    return out
+        cols[name] = pa.array([r[name] for r in recs], typ)
+    return pa.table(cols)
 
 
 # --------------------------------------------------------------------

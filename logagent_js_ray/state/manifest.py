@@ -15,10 +15,11 @@ manifest line is written only after the rename, a crash anywhere leaves
 either a complete partition + manifest line or neither — never a
 double-count.
 
-At cluster scale the runner processes fragments in WAVES (``wave_size``
-fragments per Dataset execution) so the streaming executor sees enough
-blocks to fill every core while checkpoint granularity stays
-per-fragment.
+The runner executes ONE fragment per Dataset pass (checkpoint
+granularity = fragment). At cluster scale, pass multi-file fragments
+(each ``frag`` may be a LIST of paths) so the streaming executor sees
+enough blocks per pass to fill every core while the checkpoint unit
+stays a fragment.
 """
 
 from __future__ import annotations
@@ -114,8 +115,10 @@ def run_checkpointed(input_path: str, out_dir: str,
         shutil.rmtree(part_tmp, ignore_errors=True)
         ds = build_routed([frag], pattern_paths=pattern_paths,
                           **pipeline_kwargs)
+        from ..pipelines.fused import write_concurrency
         from ..sinks import PARQUET_WRITE_OPTS
         ds.write_parquet(part_tmp, partition_cols=["sink"],
+                         concurrency=write_concurrency(),
                          **PARQUET_WRITE_OPTS)
         if os.path.exists(part_final):
             shutil.rmtree(part_final)

@@ -81,3 +81,17 @@ def test_registry_change_invalidates_checkpoint(ray_session, sf_small,
             f.write(json.dumps(rec) + "\n")
     res = run_checkpointed(sf_small, out, tool_catalog=tool_catalog_path)
     assert res["skipped"] == 0 and res["ran"] == len(recs)
+
+
+def test_read_lines_per_file_offsets(ray_session, tmp_path):
+    # line numbers must be true per-file offsets even for files longer
+    # than one read batch (regression: per-batch range() restarted them)
+    from logagent_js_ray.sources.transcripts import read_lines
+    f = tmp_path / "big.log"
+    f.write_text("\n".join(f"line-{i}" for i in range(3000)))
+    rows = read_lines(str(f)).take_all()
+    assert len(rows) == 3000
+    by_idx = {r["turn_idx"]: r["text"] for r in rows}
+    assert len(by_idx) == 3000  # no duplicate turn_idx
+    assert by_idx[0] == "line-0" and by_idx[2999] == "line-2999"
+    assert rows[0]["conv_id"] == "big.log"
