@@ -54,7 +54,16 @@ def main(argv=None) -> int:
             routes=cfg.routes or DEFAULT_ROUTES,
             drop_unmatched=cfg.drop_unmatched,
             tool_catalog=cfg.catalog,
+            default_sink=cfg.default_sink,
+            detect_severity=cfg.detect_severity,
+            input_grep=cfg.grep or None,
+            drop_events=cfg.drop_events or None,
+            multiline=cfg.multiline,
+            max_log_size=cfg.max_log_size,
         )
+        if cfg.input_kind == "lines" and not args.glob:
+            from .sources.transcripts import read_lines
+            input_path = read_lines(cfg.input_path)
     elif args.patterns:
         kwargs["pattern_paths"] = args.patterns
     if not input_path:
@@ -69,6 +78,9 @@ def main(argv=None) -> int:
         elif args.resume:
             if not out_dir:
                 ap.error("--resume needs --out")
+            if not isinstance(input_path, str):
+                ap.error("--resume needs a parquet input path "
+                         "(fragment checkpoints), not a lines input")
             from .state.manifest import run_checkpointed
             summary = run_checkpointed(input_path, out_dir, **kwargs)
             print(json.dumps(summary, default=str))

@@ -43,6 +43,7 @@ class PipelineConfig:
     out_dir: str | None = None
     multiline: bool = False
     drop_events: dict = field(default_factory=dict)
+    max_log_size: int | None = None
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -68,6 +69,7 @@ def load_config(path: str) -> PipelineConfig:
     opts = doc.get("options", {})
     cfg.pattern_files = [resolve(p) for p in opts.get("patterns", [])]
     cfg.multiline = bool(opts.get("multiline", False))
+    cfg.max_log_size = int(opts.get("maxLogSize", 0)) or None
 
     for f_ in doc.get("inputFilter", []) or []:
         if "grep" in f_:
@@ -92,7 +94,12 @@ def load_config(path: str) -> PipelineConfig:
         if "renameFields" in f_:
             mask_kwargs["rename_fields"] = f_["renameFields"]
         if "lowercaseFields" in f_:
-            mask_kwargs["lowercase"] = True
+            lf = f_["lowercaseFields"] or {}
+            fields = [d.get("fieldName", d) if isinstance(d, dict) else d
+                      for d in lf.get("fields", [])]
+            # allFields / no list -> global; else only the named fields
+            mask_kwargs["lowercase"] = (True if lf.get("allFields")
+                                        or not fields else fields)
         if "enrich" in f_:
             cfg.catalog = resolve(f_["enrich"]["catalog"]) \
                 if f_["enrich"].get("catalog") else None

@@ -45,6 +45,9 @@ def syslog_pri(cols: dict[str, pa.Array]) -> None:
     cols["message"] = cols.pop("msg_text")
 
 
+syslog_pri.derived = {"facility": pa.float64()}
+
+
 def cri_line(cols: dict[str, pa.Array]) -> None:
     """CRI log line: message becomes the payload; stderr lines default
     to severity 'error' (mirrors docker/CRI stream semantics,
@@ -98,6 +101,8 @@ TRANSFORMS = {
     "redis_line": redis_line,
     "couchdb_host": couchdb_host,
 }
+
+couchdb_host.derived = {"os_host": pa.string()}
 
 
 def get_transform(name: str):

@@ -49,7 +49,7 @@ DEFAULT_MASK = MaskConfig(
 PARSE_BATCH_SIZE = 16384  # wide text rows: keep blocks well under 2 GB offsets
 
 
-def build_routed(input_path: str | list[str],
+def build_routed(input_path,
                  pattern_paths: list[str] | None = None,
                  mask: MaskConfig | None = DEFAULT_MASK,
                  routes: list[tuple[str, str]] | None = None,
@@ -57,6 +57,12 @@ def build_routed(input_path: str | list[str],
                  tool_catalog: str | None = None,
                  concurrency=None, acc=None,
                  conv_buckets: int | None = None,
+                 default_sink: str = "sink_default",
+                 detect_severity: bool = False,
+                 input_grep: list[dict] | None = None,
+                 drop_events: dict | None = None,
+                 multiline: bool = False,
+                 max_log_size: int | None = None,
                  emit: str = "rows") -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
@@ -74,7 +80,20 @@ def build_routed(input_path: str | list[str],
     import ray as _ray
     cpus = int(_ray.cluster_resources().get("CPU", 8)) if \
         _ray.is_initialized() else 8
-    ds = read_transcripts(input_path, override_num_blocks=cpus * 4)
+    import ray.data as _rd
+    if isinstance(input_path, _rd.Dataset):
+        ds = input_path  # pre-built source (e.g. read_lines)
+    else:
+        ds = read_transcripts(input_path, override_num_blocks=cpus * 4)
+    if input_grep:
+        # inputFilter grep stages run over the RAW lines, pre-parse
+        # (grep.js position in the reference chain)
+        from ..stages.filters import make_grep_fn
+        for g in input_grep:
+            ds = ds.map_batches(make_grep_fn(**g), batch_format="pyarrow")
+    if multiline:
+        from ..stages.multiline import multiline_merge
+        ds = multiline_merge(ds)
     if tool_catalog is None:
         tool_catalog = fixgen.ensure_tool_catalog()
     ref = put_lookup(tool_catalog)
@@ -86,9 +105,17 @@ def build_routed(input_path: str | list[str],
             "pattern_paths": pattern_paths,
             "drop_unmatched": drop_unmatched, "acc": acc,
             "conv_buckets": conv_buckets, "emit": emit,
+            "default_sink": default_sink,
+            "detect_severity": detect_severity,
+            "max_log_size": max_log_size,
         },
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or pool_size())
+    if drop_events:
+        from ..stages.filters import make_drop_events_fn
+        ds = ds.map_batches(make_drop_events_fn(
+            include=drop_events.get("include"),
+            exclude=drop_events.get("exclude")), batch_format="pyarrow")
     return ds
 
 

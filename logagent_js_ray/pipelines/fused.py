@@ -100,6 +100,8 @@ class FlagshipStage:
                  drop_unmatched: bool = False, acc=None,
                  detect_severity: bool = False,
                  conv_buckets: int | None = None,
+                 default_sink: str = "sink_default",
+                 max_log_size: int | None = None,
                  emit: str = "rows"):
         # emit="cube": the stage OUTPUTS per-batch partial cubes instead
         # of parsed rows — the aggregate-only pipeline then never ships
@@ -112,13 +114,14 @@ class FlagshipStage:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
         self.conv_buckets = conv_buckets
-        self.prep = make_prep_fn()
+        from ..stages.filters import MAX_LOG_SIZE
+        self.prep = make_prep_fn(max_size=max_log_size or MAX_LOG_SIZE)
         self.registry = load_registry(
             list(pattern_paths) if pattern_paths else None)
         self.mask_cfg = mask_cfg
         self.enricher = Enricher(lookup_ref, key="tool",
                                  detect_severity=detect_severity)
-        self.route_cfg = RouteConfig(routes, default_sink="sink_default",
+        self.route_cfg = RouteConfig(routes, default_sink=default_sink,
                                      drop_unmatched=drop_unmatched)
         self.acc = acc
 

@@ -142,11 +142,18 @@ class PatternRegistry:
                     # common columns, not duplicate ones
                 t = e.types.get(name)
                 out[name] = pa.float64() if t == "number" else pa.string()
-            # transforms may add derived fields
-            if e.transform == "syslog_pri":
-                out["facility"] = pa.float64()
-            elif e.transform == "couchdb_host":
-                out["os_host"] = pa.string()
+            # transforms may add derived fields: read the generic
+            # ``derived`` declaration off the registered callable so
+            # user transforms registered via register_transform extend
+            # the output schema the same way the builtins do
+            if e.transform:
+                from .functions.transforms import get_transform
+                try:
+                    fn = get_transform(e.transform)
+                except KeyError:
+                    fn = None
+                for dname, dtype in getattr(fn, "derived", {}).items():
+                    out[dname] = dtype
         for name, t in JSON_PROMOTED.items():
             out.setdefault(name, t)
         return out
@@ -163,8 +170,17 @@ _CACHE: dict[tuple, PatternRegistry] = {}
 
 def load_registry(paths: list[str] | None = None) -> PatternRegistry:
     """Per-process cached registry (the analogue of logagent's single
-    LogParser instance; parser.js:48-49)."""
-    key = tuple(paths or [])
+    LogParser instance; parser.js:48-49), keyed by (path, mtime) so an
+    edited pattern file is recompiled instead of served stale."""
+    import os as _os
+
+    def _mt(p):
+        try:
+            return _os.stat(p).st_mtime_ns
+        except OSError:
+            return 0
+
+    key = tuple((p, _mt(p)) for p in (paths or []))
     if key not in _CACHE:
-        _CACHE[key] = PatternRegistry(list(key) or None)
+        _CACHE[key] = PatternRegistry(list(paths or []) or None)
     return _CACHE[key]

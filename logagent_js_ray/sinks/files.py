@@ -55,7 +55,7 @@ def write_template_sink(ds: "ray.data.Dataset", out_dir: str,
     """files.js semantics: optional sourceName/typeName regex gates, then
     fan-out by the rendered file name (one hive partition per name)."""
     def gate_and_render(batch: pa.Table) -> pa.Table:
-        keep = pa.array([True] * batch.num_rows)
+        keep = pa.array([True] * batch.num_rows, pa.bool_())
         if source_match and source_col in batch.column_names:
             keep = pc.and_(keep, pc.fill_null(pc.match_substring_regex(
                 batch[source_col], source_match), False))

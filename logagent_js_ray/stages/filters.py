@@ -42,16 +42,24 @@ def make_grep_fn(include: str | None = None, exclude: str | None = None,
     gated events must match include (if set) and not match exclude."""
     def _grep(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        keep = pa.array([True] * n)
-        gate = (pc.match_substring_regex(batch[source_col], match_source)
-                if match_source else keep)
+        # typed: a zero-length untyped [True]*0 array is null-typed and
+        # pc.and_ has no (null, bool) kernel — empty blocks crashed
+        keep = pa.array([True] * n, pa.bool_())
+        # null source = not gated (passes untouched); null text = no
+        # match — fill both so if_else/and_ never see null masks
+        gate = (pc.fill_null(pc.match_substring_regex(
+            batch[source_col], match_source), False)
+            if match_source else keep)
         txt = batch[text_col]
         if include is not None:
             keep = pc.and_(keep, pc.if_else(
-                gate, pc.match_substring_regex(txt, include), pa.scalar(True)))
+                gate, pc.fill_null(
+                    pc.match_substring_regex(txt, include), False),
+                pa.scalar(True)))
         if exclude is not None:
             keep = pc.and_(keep, pc.if_else(
-                gate, pc.invert(pc.match_substring_regex(txt, exclude)),
+                gate, pc.invert(pc.fill_null(
+                    pc.match_substring_regex(txt, exclude), False)),
                 pa.scalar(True)))
         return batch.filter(keep)
     return _grep
@@ -65,7 +73,7 @@ def make_drop_events_fn(include: dict[str, str] | None = None,
     exc = dict(exclude or {})
 
     def _drop(batch: pa.Table) -> pa.Table:
-        keep = pa.array([True] * batch.num_rows)
+        keep = pa.array([True] * batch.num_rows, pa.bool_())
         for fld, rx in inc.items():
             if fld in batch.column_names:
                 s = pc.cast(batch[fld], pa.string())

@@ -233,7 +233,16 @@ def mask_batch(batch: pa.Table, cfg: MaskConfig) -> pa.Table:
         out = out.rename_columns([cfg.rename_fields.get(c, c)
                                   for c in out.column_names])
     if cfg.lowercase:
-        out = out.rename_columns([c.lower() for c in out.column_names])
+        # True = allFields; a list lowercases only the NAMED field names
+        # (lowercase-fields.js per-field contract)
+        if cfg.lowercase is True:
+            out = out.rename_columns(
+                [c.lower() for c in out.column_names])
+        else:
+            targets = set(cfg.lowercase)
+            out = out.rename_columns(
+                [c.lower() if c in targets else c
+                 for c in out.column_names])
     return out
 
 

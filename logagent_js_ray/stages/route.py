@@ -43,17 +43,22 @@ def _expand_date_templates(sink: pa.Array, batch: pa.Table,
                            ts_col: str) -> pa.Array:
     """Replace YYYY/MM/DD tokens in sink names with the row's event time
     — one vectorized strftime per DISTINCT template (a handful: the
-    routing table entries plus any _index overrides), never per row."""
+    routing table entries plus any _index overrides), never per row.
+
+    Bare-substring token matching is PARITY: the reference replaces
+    /YYYY|MM|DD/g blindly (elasticsearch.js:227-241), so 'COMM-logs'
+    becomes 'CO<month>-logs' there too. Rows with a null/missing
+    timestamp keep the LITERAL template name (deterministic; the
+    reference would throw on undefined @timestamp)."""
     templates = [s for s in pc.unique(sink).to_pylist()
                  if s and _DATE_TOKEN_RE.search(s)]
     if not templates:
         return sink
-    if ts_col not in batch.column_names:
-        raise ValueError(
-            f"date-templated index names need a '{ts_col}' column")
-    ts = batch[ts_col]
+    ts = (batch[ts_col] if ts_col in batch.column_names
+          else pa.nulls(batch.num_rows, pa.timestamp("us")))
     for tmpl in templates:
         expanded = pc.strftime(ts, format=index_strftime_format(tmpl))
+        expanded = pc.fill_null(expanded, tmpl)
         sink = pc.if_else(pc.equal(sink, tmpl), expanded, sink)
     return sink
 
@@ -85,10 +90,13 @@ def route_batch(batch: pa.Table, cfg: RouteConfig) -> pa.Table:
     if (cfg.index_override_col and
             cfg.index_override_col in batch.column_names):
         sink = pc.cast(batch[cfg.index_override_col], pa.string())
-    # precedence 2: ordered first-match regex routing
+    # precedence 2: ordered first-match regex routing. fill_null on the
+    # match: a null logSource must mean "no match", not a null hit mask
+    # that erases an already-set _index override through if_else
     for name, regex in cfg.routes:
         todo = pc.is_null(sink)
-        hit = pc.and_(todo, pc.match_substring_regex(src, regex))
+        hit = pc.and_(todo, pc.fill_null(
+            pc.match_substring_regex(src, regex), False))
         sink = pc.if_else(hit, pa.scalar(name, pa.string()), sink)
     # precedence 3: default / drop
     if cfg.drop_unmatched:

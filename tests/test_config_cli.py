@@ -93,3 +93,49 @@ def test_tumbling(ray_session):
     out = tumbling(ray.data.from_items(rows), key="k", minutes=15) \
         .to_pandas().sort_values("window").reset_index(drop=True)
     assert out["n"].tolist() == [2, 1, 1]
+
+
+def test_config_full_wiring(ray_session, tmp_path):
+    """Every parsed config option must actually act on the pipeline:
+    lines input, inputFilter grep, defaultSink, dropEvents, per-field
+    lowercase (regression: these were parsed but silently ignored)."""
+    import yaml
+
+    from logagent_js_ray.config import load_config
+    from logagent_js_ray.pipelines.flagship import build_routed
+    from logagent_js_ray.sources.transcripts import read_lines
+    log = tmp_path / "app.log"
+    log.write_text("keep info one\ndiscard me\nkeep ERROR two\n")
+    cfgf = tmp_path / "pipe.yml"
+    cfgf.write_text(yaml.safe_dump({
+        "input": {"lines": {"path": str(log)}},
+        "inputFilter": [{"grep": {"exclude": "discard"}}],
+        "outputFilter": [
+            {"lowercaseFields": {"fields": [{"fieldName": "_type"}]}},
+        ],
+        "output": {"sinks": {
+            "routes": [],
+            "defaultSink": "my_default",
+        }},
+    }))
+    cfg = load_config(cfgf)
+    assert cfg.input_kind == "lines"
+    assert cfg.default_sink == "my_default"
+    assert cfg.grep == [{"include": None, "exclude": "discard",
+                         "match_source": None}]
+    assert cfg.mask.lowercase == ["_type"]
+    ds = build_routed(read_lines(cfg.input_path), mask=cfg.mask,
+                      routes=cfg.routes or [("never", "^zzz$")],
+                      default_sink=cfg.default_sink,
+                      input_grep=cfg.grep, concurrency=(1, 2))
+    rows = ds.take_all()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["keep ERROR two", "keep info one"]  # grep applied
+    assert all(r["sink"] == "my_default" for r in rows)  # defaultSink
+
+    # dropEvents post-filter
+    ds2 = build_routed(read_lines(str(log)),
+                       routes=[("s", ".*")], concurrency=(1, 2),
+                       drop_events={"exclude": {"text": "ERROR"}})
+    assert sorted(r["text"] for r in ds2.take_all()) == \
+        ["discard me", "keep info one"]
