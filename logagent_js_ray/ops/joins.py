@@ -44,7 +44,9 @@ def _pd_dtype(t: pa.DataType):
     if pa.types.is_floating(t):
         return t.to_pandas_dtype()
     if pa.types.is_timestamp(t):
-        return "datetime64[us]"
+        if t.tz is not None:
+            return pd.DatetimeTZDtype(t.unit, t.tz)
+        return f"datetime64[{t.unit}]"
     return None
 
 
@@ -108,9 +110,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             b = b.append_column(
                 f"_r_{c}", pa.nulls(b.num_rows, r_types[c]))
         return b.append_column(
-            "_b", pa.array(coarse_bucket_array(
-                b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
-                else b[key], num_buckets)))
+            "_b", pa.array(coarse_bucket_array(b[key], num_buckets)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         out = {key: b[key], ts_col: b[ts_col],
@@ -120,9 +120,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 out[c] = pa.nulls(b.num_rows, l_types[c])
         for c in right_cols:
             out[f"_r_{c}"] = b[c]
-        out["_b"] = pa.array(coarse_bucket_array(
-            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
-            else b[key], num_buckets))
+        out["_b"] = pa.array(coarse_bucket_array(b[key], num_buckets))
         order = (left_cols + ["_side"]
                  + [f"_r_{c}" for c in right_cols] + ["_b"])
         return pa.table({c: out[c] for c in order})
@@ -131,9 +129,20 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         right.map_batches(tag_right, batch_format="pyarrow"))
     tagged_r = [f"_r_{c}" for c in right_cols]
 
-    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0]
-        rg = g[g["_side"] == 1]
+    def bucket_asof(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        # per-SIDE pandas conversion: converting the whole tagged union
+        # at once injects nulls into the other side's int columns, and
+        # pandas' int64->float64 promotion silently corrupts ids above
+        # 2^53 before any dtype restore can run
+        lmask = pc.equal(g["_side"], 0)
+        lg = g.filter(lmask).select(left_cols).to_pandas()
+        rg = g.filter(pc.invert(lmask)) \
+              .select([key, ts_col] + tagged_r).to_pandas()
+        # SQL semantics for null join/on keys: no match, never a crash
+        # (pandas merge_asof raises on null on-key values)
+        lg = lg.dropna(subset=[key, ts_col])
+        rg = rg.dropna(subset=[key, ts_col])
         if lg.empty or rg.empty:
             return _empty_frame(out_spec)
         # deterministic right tie-break: keep max right_cols per (key,
@@ -141,12 +150,12 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         rg = rg.sort_values([key, ts_col] + tagged_r, kind="mergesort",
                             na_position="first")
         rg = rg.drop_duplicates([key, ts_col], keep="last")
-        rsel = rg[[key, ts_col] + tagged_r].rename(
+        rsel = rg.rename(
             columns={f"_r_{c}": f"{c}{rsuffix}" for c in right_cols})
         rsel[f"{ts_col}{rsuffix}"] = rsel[ts_col]
         # merge_asof(by=key): both frames sorted by ts only; every key in
         # the bucket is matched in one C-level pass
-        lg = lg[left_cols].sort_values(ts_col, kind="mergesort")
+        lg = lg.sort_values(ts_col, kind="mergesort")
         rsel = rsel.sort_values(ts_col, kind="mergesort")
         tol = pd.Timedelta(microseconds=tolerance_us) \
             if tolerance_us is not None else None
@@ -158,7 +167,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                   .reset_index(drop=True)
 
     return combined.groupby("_b").map_groups(bucket_asof,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -196,9 +205,7 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         b = b.append_column("_r_end", pa.nulls(b.num_rows,
                                                r_types[end_col]))
         return b.append_column(
-            "_b", pa.array(coarse_bucket_array(
-                b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
-                else b[key], num_buckets)))
+            "_b", pa.array(coarse_bucket_array(b[key], num_buckets)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         out = {key: b[key], "_side": pa.array(
@@ -210,9 +217,7 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"_r_{c}"] = b[c]
         out["_r_start"] = b[start_col]
         out["_r_end"] = b[end_col]
-        out["_b"] = pa.array(coarse_bucket_array(
-            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
-            else b[key], num_buckets))
+        out["_b"] = pa.array(coarse_bucket_array(b[key], num_buckets))
         order = (left_cols + ["_side"] + [f"_r_{c}" for c in right_cols]
                  + ["_r_start", "_r_end", "_b"])
         return pa.table({c: out[c] for c in order})
@@ -221,14 +226,20 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         right.map_batches(tag_right, batch_format="pyarrow"))
     tagged_r = [f"_r_{c}" for c in right_cols]
 
-    def bucket_range(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0]
-        rg = g[g["_side"] == 1]
+    def bucket_range(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        # per-SIDE conversion: see bucket_asof — avoids null-driven
+        # float64 promotion of int columns above 2^53
+        lmask = pc.equal(g["_side"], 0)
+        lg = g.filter(lmask).select(left_cols).to_pandas()
+        rg = g.filter(pc.invert(lmask)) \
+              .select([key, "_r_start", "_r_end"] + tagged_r).to_pandas()
+        lg = lg.dropna(subset=[key, ts_col])
+        rg = rg.dropna(subset=[key, "_r_start"])
         if lg.empty or rg.empty:
             return _empty_frame(out_spec)
-        rsel = rg[[key, "_r_start", "_r_end"] + tagged_r] \
-            .sort_values("_r_start", kind="mergesort")
-        lg = lg[left_cols].sort_values(ts_col, kind="mergesort")
+        rsel = rg.sort_values("_r_start", kind="mergesort")
+        lg = lg.sort_values(ts_col, kind="mergesort")
         out = pd.merge_asof(lg, rsel, left_on=ts_col, right_on="_r_start",
                             by=key, direction="backward")
         out = out[out[ts_col] <= out["_r_end"]]
@@ -239,4 +250,4 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                   .reset_index(drop=True)
 
     return combined.groupby("_b").map_groups(bucket_range,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")

@@ -35,10 +35,8 @@ def sessionize(ds: "ray.data.Dataset", key: str = "user_id",
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from .joins import coarse_bucket_array
-        arr = b[key].combine_chunks() if isinstance(
-            b[key], pa.ChunkedArray) else b[key]
         return b.append_column(
-            "_b", pa.array(coarse_bucket_array(arr, num_buckets)))
+            "_b", pa.array(coarse_bucket_array(b[key], num_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # null keys: pandas ne()/groupby treat NaN as never-equal /

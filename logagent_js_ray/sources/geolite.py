@@ -45,40 +45,40 @@ def load_geolite_city_csv(blocks_csv: str, locations_csv: str):
     the mmdb's anonymous ranges.
     """
     blocks = pacsv.read_csv(blocks_csv).select(BLOCK_COLS)
-    locs = pacsv.read_csv(locations_csv)
-    locs = locs.select([c for c in LOC_COLS])
+    locs = pacsv.read_csv(locations_csv).select(LOC_COLS)
 
     net = pc.cast(blocks["network"], pa.string())
     parts = pc.extract_regex(
         net, r"^(?P<a>\d+)\.(?P<b>\d+)\.(?P<c>\d+)\.(?P<d>\d+)/(?P<p>\d+)$")
+    # rows whose network is not dotted-quad IPv4 (IPv6 blocks, truncated
+    # lines) are SKIPPED, like the mmdb reader ignoring foreign records
+    # — one bad row must not kill every lookup actor's __init__
+    ok = pc.is_valid(parts)
+    blocks = blocks.filter(ok)
+    parts = pc.drop_null(parts.combine_chunks() if isinstance(
+        parts, pa.ChunkedArray) else parts)
     octs = [pc.cast(pc.struct_field(parts, f), pa.int64()).to_numpy(
         zero_copy_only=False) for f in ("a", "b", "c", "d")]
     prefix = pc.cast(pc.struct_field(parts, "p"), pa.int64()).to_numpy(
         zero_copy_only=False)
+    prefix = np.clip(prefix, 0, 32)
     start = ((octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]) \
         .astype(np.int64)
     size = (np.int64(1) << (32 - prefix)).astype(np.int64)
     end = start + size - 1
 
-    # geoname join: blocks reference a locations row by id; hash-join the
-    # small locations side in memory (locations is ~100k rows real-world)
-    gid = blocks["geoname_id"].to_numpy(zero_copy_only=False)
-    loc_gid = locs["geoname_id"].to_numpy(zero_copy_only=False)
-    loc_idx = {int(g): i for i, g in enumerate(loc_gid) if g is not None}
-    loc_cols = {c: locs[c].to_numpy(zero_copy_only=False)
-                for c in ("continent_code", "country_iso_code", "city_name")}
-    n = len(start)
-    country = np.full(n, None, dtype=object)
-    city = np.full(n, None, dtype=object)
-    continent = np.full(n, None, dtype=object)
-    for i, g in enumerate(gid):
-        if g is None or (isinstance(g, float) and np.isnan(g)):
-            continue
-        j = loc_idx.get(int(g))
-        if j is not None:
-            country[i] = loc_cols["country_iso_code"][j]
-            city[i] = loc_cols["city_name"][j]
-            continent[i] = loc_cols["continent_code"][j]
+    # geoname join: blocks reference a locations row by id; vectorized
+    # pandas map over the small locations side (per-row Python over the
+    # ~3M-row real blocks file cost seconds in EVERY actor __init__)
+    import pandas as pd
+    gid = pd.Series(blocks["geoname_id"].to_numpy(zero_copy_only=False))
+    ldf = locs.to_pandas().dropna(subset=["geoname_id"]) \
+        .drop_duplicates("geoname_id").set_index("geoname_id")
+    country = gid.map(ldf["country_iso_code"]).to_numpy(dtype=object)
+    city = gid.map(ldf["city_name"]).to_numpy(dtype=object)
+    continent = gid.map(ldf["continent_code"]).to_numpy(dtype=object)
+    for arr in (country, city, continent):
+        arr[pd.isna(arr)] = None
 
     order = np.argsort(start, kind="stable")
     return {
@@ -149,8 +149,7 @@ class GeoCityEnricher:
         for name, col in (("geo_lat", "lat"), ("geo_lon", "lon")):
             v = np.where(hit, self.t[col][ic].astype(np.float64), np.nan)
             out = out.append_column(
-                name, pa.array([None if x != x else float(x)
-                                for x in v], pa.float64()))
+                name, pa.array(v, pa.float64(), mask=np.isnan(v)))
         return out
 
 

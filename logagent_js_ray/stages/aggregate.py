@@ -48,6 +48,8 @@ def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
     strings fall back to a crc32 loop. Shared by the coarse-group
     pattern everywhere (ops/joins, ops/windows, partitioned
     tree_merge): group on the bucket, segment exact keys inside."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
         # fill nulls BEFORE to_numpy: a block with any null converts to
         # float64, and ids above 2^53 then lose low bits — the same key
