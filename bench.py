@@ -49,10 +49,18 @@ def run_bench() -> dict:
 
     fdir = fixture_dir_for(SF_DIR)
 
-    # warm the OS page cache (measure compute+shuffle, not first disk read)
+    # warm the OS page cache (measure compute+shuffle, not first disk
+    # read) — warm the HEADLINE fixture files themselves, plus the query
+    # side tables when present (metadata-only reads warmed nothing)
     import pyarrow.parquet as pq
-    n_turns = sum(pq.read_metadata(os.path.join(fdir, f)).num_rows
-                  for f in os.listdir(fdir) if f.endswith(".parquet"))
+    n_turns = 0
+    for f in os.listdir(fdir):
+        if f.endswith(".parquet"):
+            fp = os.path.join(fdir, f)
+            n_turns += pq.read_metadata(fp).num_rows
+            with open(fp, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     for name in ("events", "documents", "embeddings", "lineitem"):
         p = os.path.join(SF_DIR, f"{name}.parquet")
         if os.path.exists(p):
@@ -104,7 +112,9 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        # label with the RESOLVED fixture scale: an unknown SF_DIR falls
+        # back to sf0.01 and must not be reported as the requested name
+        "sf": os.path.basename(os.path.dirname(fdir)),
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
@@ -136,11 +146,18 @@ def run_scaling() -> dict:
         # the sandbox host has noisy neighbors (idle load spikes >20);
         # best-of-N measures capability, not the neighbors
         best = None
-        for _ in range(trials):
-            r = run_at(ncpu)
+        for i in range(trials):
+            try:
+                r = run_at(ncpu)
+            except subprocess.CalledProcessError as e:
+                # surface the child's traceback — a silent retry hides
+                # 40-minute failures behind an exit code
+                sys.stderr.write(e.stderr or "")
+                raise
             if best is None or r["value"] < best["value"]:
                 best = r
-            time.sleep(settle)
+            if i + 1 < trials:  # no idle settle after the last trial
+                time.sleep(settle)
         return best
 
     modes = tuple(os.environ.get("GRAFT_SCALING_MODES",

@@ -220,6 +220,12 @@ def ensure_transcripts(sf: str, root: str | None = None, num_files: int | None =
     if num_files is None:
         num_files = min(64, max(4, total // 250_000 or 4, 8 if total > 10_000 else 4))
     os.makedirs(out_dir, exist_ok=True)
+    # regeneration must not leave stale part files behind: a smaller
+    # num_files (or a GEN_VERSION bump) would otherwise mix old and new
+    # corpora under the same glob, silently corrupting parity and bench
+    import glob as _glob
+    for old_part in _glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.remove(old_part)
     rng = np.random.default_rng(SEED)
     perm = rng.permutation(tbl.num_rows)
     step = -(-tbl.num_rows // num_files)
@@ -297,5 +303,8 @@ def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     if sf not in SF_TURNS:
+        import sys
+        print(f"[fixtures] unknown scale {sf!r}: falling back to sf0.01",
+              file=sys.stderr)
         sf = "sf0.01"
     return ensure_transcripts(sf)

@@ -11,7 +11,7 @@ import hashlib
 import json
 import re
 from collections import Counter, defaultdict
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from ..functions.transforms import BUNYAN_LEVELS
 from ..registry import JSON_PROMOTED, PatternRegistry, load_registry
@@ -25,8 +25,18 @@ def _parse_date(s: str, fmt: str | None):
         if fmt == "clf":
             s2 = re.sub(r" [+-]\d{4}$", "", s)
             return datetime.strptime(s2, "%d/%b/%Y:%H:%M:%S")
+        # numeric UTC offset: strip AND subtract, mirroring the
+        # pipeline's _apply_utc_offset (local = UTC + offset)
+        m = re.search(r"([+-])(\d{2}):?(\d{2})$", s)
+        off = timedelta(0)
+        if m:
+            off = timedelta(hours=int(m.group(2)),
+                            minutes=int(m.group(3)))
+            if m.group(1) == "-":
+                off = -off
+            s = s[:m.start()]
         s2 = re.sub(r"(\.\d+)?Z?$", "", s)
-        return datetime.strptime(s2, "%Y-%m-%dT%H:%M:%S")
+        return datetime.strptime(s2, "%Y-%m-%dT%H:%M:%S") - off
     except ValueError:
         return None
 
@@ -56,7 +66,12 @@ def parse_row(row: dict, registry: PatternRegistry | None = None) -> dict:
                 t = _parse_date(str(obj.pop("time")), "iso")
                 if t is not None:
                     ev["@timestamp"] = t
-            ev["message"] = obj.pop("message", None)
+            m2 = obj.pop("message", None)
+            if m2 is not None and not isinstance(m2, str):
+                # mirror the pipeline: non-string messages stringify
+                m2 = (json.dumps(m2, sort_keys=True)
+                      if isinstance(m2, (dict, list)) else str(m2))
+            ev["message"] = m2
             rest = {}
             for k, v in obj.items():
                 if k in JSON_PROMOTED:
@@ -125,14 +140,30 @@ def mask_row(ev: dict, hash_fields=("user_email", "token"),
     return ev
 
 
+def _expand_sink_template(name: str | None, ev: dict) -> str | None:
+    """YYYY/MM/DD expansion mirroring stages/route._expand_date_templates
+    (bare-substring tokens = reference parity; null ts keeps the
+    literal)."""
+    if name is None or not re.search(r"YYYY|MM|DD", name):
+        return name
+    ts = ev.get("@timestamp")
+    if ts is None:
+        return name
+    return (name.replace("YYYY", f"{ts.year:04d}")
+            .replace("MM", f"{ts.month:02d}")
+            .replace("DD", f"{ts.day:02d}"))
+
+
 def route_row(ev: dict, routes, default_sink="sink_default",
               drop_unmatched=False) -> str | None:
     if ev.get("_index") is not None:
-        return ev["_index"]
+        return _expand_sink_template(ev["_index"], ev)
     for name, rx in routes:
-        if re.search(rx, ev["logSource"]):
-            return name
-    return None if drop_unmatched else default_sink
+        if ev.get("logSource") is not None and \
+                re.search(rx, ev["logSource"]):
+            return _expand_sink_template(name, ev)
+    return None if drop_unmatched else \
+        _expand_sink_template(default_sink, ev)
 
 
 def enrich_row(ev: dict, catalog: dict[str, dict]) -> dict:

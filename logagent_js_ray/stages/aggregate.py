@@ -107,17 +107,15 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
         parts = {}
         for col, how in spec.items():
             if how == "sum":
-                s = g[col].sum(min_count=1)
-                # a null partial (all-null group in one block) flips the
-                # pandas column to float64 and the flipped dtype would
-                # leak into the output data-dependently; every sum in
-                # this repo is integral by convention (cents/counts), so
-                # restore nullable Int64 when the values allow it
-                if (s.dtype == np.float64
-                        and np.isfinite(s.dropna()).all()
-                        and (s.dropna() == np.rint(s.dropna())).all()):
-                    s = s.astype("Int64")
-                parts[col] = s
+                # KNOWN dtype caveat: if some block's partial holds an
+                # all-null int sum, the arrow->pandas conversion flips
+                # that column to float64 for this merge and the output
+                # dtype follows. Restoring would need type provenance
+                # the merged frame doesn't carry (guessing from integral
+                # values mis-types genuinely-float sums — tried and
+                # reverted); callers needing a hard dtype contract cast
+                # in their own finishing map_batches.
+                parts[col] = g[col].sum(min_count=1)
             elif how == "min":
                 parts[col] = g[col].min()
             elif how == "max":

@@ -31,16 +31,42 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
+_NULL = "\0<NULL>"  # sentinel no real string value can collide with
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # map nulls to one sentinel BEFORE stringifying: astype(str)
+            # renders None as 'None' and NaN as 'nan', which both
+            # mis-matched real nulls across engines AND collided with
+            # genuine 'None' string values
+            isna = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[isna, c] = _NULL
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("int32", "uint32", "int16"):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# dtype families considered equivalent across the Ray/DuckDB boundary
+# (the driver compares hashes of VALUES; this tool additionally flags
+# dtype drift per the CLAUDE.md invariant, at family granularity so
+# Int64-nullable vs int64 and us/ns timestamps don't false-alarm)
+def _dtype_family(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime64"):
+        return "timestamp"
+    if s == "bool" or s == "boolean":
+        return "bool"
+    return "object"
 
 
 def main(sf_dir: str) -> int:
@@ -64,7 +90,8 @@ def main(sf_dir: str) -> int:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
+            got = canon(raw)
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
@@ -74,9 +101,25 @@ def main(sf_dir: str) -> int:
             print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
             continue
         try:
-            want = canon(con.sql(oracles[name]).df())
+            raw_want = con.sql(oracles[name]).df()
+            want = canon(raw_want)
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        # dtype-family check on the PRE-canon frames (CLAUDE.md: dtypes
+        # must match DuckDB's) — canon coerces, so compare before it
+        fam_mismatch = [
+            c for c in sorted(set(raw.columns) & set(raw_want.columns))
+            if _dtype_family(raw[c].dtype)
+            != _dtype_family(raw_want[c].dtype)
+            # an all-null object column has no observable family
+            and not (raw[c].isna().all() or raw_want[c].isna().all())]
+        if fam_mismatch:
+            print(f"FAIL {name}: dtype mismatch "
+                  + ", ".join(f"{c}: {raw[c].dtype} vs "
+                              f"{raw_want[c].dtype}"
+                              for c in fam_mismatch))
             failures += 1
             continue
         if len(got) != len(want):
