@@ -99,3 +99,50 @@ def test_route_fanout_receivers():
     assert sorted(out["sink"].to_pylist()) == sorted(
         ["s_u", "s_d", "audit-2024.01", "audit-2024.01",
          "mirror", "mirror"])
+
+
+def test_route_null_logsource_keeps_index_override():
+    import pyarrow as pa
+    from logagent_js_ray.stages.route import RouteConfig, route_batch
+    b = pa.table({"logSource": pa.array([None, "web"], pa.string()),
+                  "_index": pa.array(["my-index", None], pa.string())})
+    out = route_batch(b, RouteConfig([("s_web", "web")]))
+    # null logSource must not erase the precedence-1 override (regression:
+    # non-Kleene and_ propagated null through if_else)
+    assert out["sink"].to_pylist() == ["my-index", "s_web"]
+
+
+def test_route_date_template_null_ts_keeps_literal():
+    import pyarrow as pa
+    from logagent_js_ray.stages.route import RouteConfig, route_batch
+    import datetime
+    b = pa.table({
+        "logSource": pa.array(["web", "web"], pa.string()),
+        "@timestamp": pa.array([datetime.datetime(2024, 3, 7), None],
+                               pa.timestamp("us"))})
+    cfg = RouteConfig([("logs-YYYY.MM.DD", "web")], drop_unmatched=True)
+    out = route_batch(b, cfg)
+    # matched rows with null ts keep the literal template, never dropped
+    assert out["sink"].to_pylist() == ["logs-2024.03.07", "logs-YYYY.MM.DD"]
+
+
+def test_grep_null_text_and_source_pass():
+    import pyarrow as pa
+    from logagent_js_ray.stages.filters import make_grep_fn
+    b = pa.table({"role": pa.array(["app", None, "app"], pa.string()),
+                  "text": pa.array(["keep this", "ungated row", None],
+                                   pa.string())})
+    out = make_grep_fn(include="keep", match_source="app")(b)
+    # null source = not gated -> passes; null text in gated source = no
+    # match -> dropped; matching row kept
+    assert out["text"].to_pylist() == ["keep this", "ungated row"]
+
+
+def test_grep_and_drop_handle_empty_batch():
+    import pyarrow as pa
+    from logagent_js_ray.stages.filters import (make_drop_events_fn,
+                                                make_grep_fn)
+    empty = pa.table({"role": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    assert make_grep_fn(include="x")(empty).num_rows == 0
+    assert make_drop_events_fn(include={"text": "x"})(empty).num_rows == 0

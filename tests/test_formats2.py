@@ -121,3 +121,16 @@ def test_cloudfoundry_format():
     assert out["logSource"].to_pylist() == ["RTR", "APP", "x"]
     assert out["cf_json"].to_pylist() == [
         '{"status":200,"path":"/x"}', None, None]
+
+
+def test_device_detector_ios_before_macos():
+    import pyarrow as pa
+
+    from logagent_js_ray.stages.formats import DeviceDetector
+    uas = ["Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+           "AppleWebKit/605.1.15 Version/16.6 Mobile/15E148 Safari/604.1",
+           "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+           "AppleWebKit/537.36 Chrome/120.0 Safari/537.36"]
+    out = DeviceDetector()(pa.table({"user_agent": uas}))
+    # every iPhone UA contains 'like Mac OS X': iOS must win
+    assert out["ua_os"].to_pylist() == ["iOS", "macOS"]

@@ -65,3 +65,28 @@ def test_fixture_mapping_matches_formula(tmp_path):
     out = enr(pa.table({"client_ip": pa.array(ips, pa.string())}))
     expect = [GEO_COUNTRIES[(o // 4) % 8] for o in range(0, 256, 17)]
     assert out["geo_country"].to_pylist() == expect
+
+
+def test_geolite_skips_malformed_network_rows(tmp_path):
+    # an IPv6 / truncated row must be skipped, not kill the actor init
+    from logagent_js_ray.sources.geolite import load_geolite_city_csv
+    blocks = tmp_path / "b.csv"
+    blocks.write_text(
+        "network,geoname_id,registered_country_geoname_id,"
+        "represented_country_geoname_id,is_anonymous_proxy,"
+        "is_satellite_provider,postal_code,latitude,longitude,"
+        "accuracy_radius\n"
+        "1.0.0.0/24,1000,,,0,0,,1.0,2.0,10\n"
+        "2001:db8::/32,1000,,,0,0,,1.0,2.0,10\n"
+        "8.8.8.0/24,1001,,,0,0,,3.0,4.0,10\n")
+    locs = tmp_path / "l.csv"
+    locs.write_text(
+        "geoname_id,locale_code,continent_code,continent_name,"
+        "country_iso_code,country_name,subdivision_1_iso_code,"
+        "subdivision_1_name,subdivision_2_iso_code,subdivision_2_name,"
+        "city_name,metro_code,time_zone,is_in_european_union\n"
+        "1000,en,OC,,AU,,,,,,Sydney,,UTC,0\n"
+        "1001,en,NA,,US,,,,,,Mountain View,,UTC,0\n")
+    t = load_geolite_city_csv(str(blocks), str(locs))
+    assert len(t["start"]) == 2  # IPv6 row skipped
+    assert set(t["country"]) == {"AU", "US"}

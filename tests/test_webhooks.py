@@ -140,3 +140,24 @@ def test_reputation_enricher_lru_cache():
     out = enr(t)
     assert out["reputation_status"].to_pylist() == ["ok"] * 4
     assert calls == [("a", None), ("b", None), ("c", None)]  # 'a' cached
+
+
+def test_github_events_minimal_columns():
+    # regression: with ONLY the event/body columns, select([]).take()
+    # collapsed to 0 rows and the record append crashed
+    import json
+
+    import pyarrow as pa
+
+    from logagent_js_ray.stages.webhooks import github_events_format
+    body = json.dumps({"action": "opened",
+                       "repository": {"full_name": "o/r",
+                                      "html_url": "https://x"},
+                       "sender": {"login": "u", "html_url": "https://u"},
+                       "issue": {"title": "T", "html_url": "https://i",
+                                 "number": 1}})
+    out = github_events_format(pa.table({
+        "gh_event": pa.array(["issues"], pa.string()),
+        "gh_body": pa.array([body], pa.string())}))
+    assert out.num_rows == 1
+    assert out["type"][0].as_py()
