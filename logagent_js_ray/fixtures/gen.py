@@ -299,6 +299,120 @@ def ensure_tool_catalog(root: str | None = None) -> str:
     return path
 
 
+MEDIA_GEN_VERSION = 1
+MEDIA_N = 96
+
+
+def _e6_half_away(x: np.ndarray) -> np.ndarray:
+    v = np.asarray(x, np.float64) * 1e6
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def _expected_image_features(img: np.ndarray) -> np.ndarray:
+    """Expected DecodeImage feature vector, derived from the RAW rgb
+    array (never the BMP payload): nearest resize to 64x64, channel
+    means/stds, 26-bin grayscale histogram. Mirrors the op's dtypes and
+    operation order exactly so float32 results are bit-equal; what it
+    does NOT share is the encode->decode round trip and the Ray
+    plumbing — a corrupted byte anywhere there fails the hash."""
+    ys = (np.arange(64) * img.shape[0] // 64).clip(0, img.shape[0] - 1)
+    xs = (np.arange(64) * img.shape[1] // 64).clip(0, img.shape[1] - 1)
+    flat = img[ys][:, xs].reshape(-1, 3).astype(np.float32)
+    f = np.empty(32, np.float32)
+    f[0:3] = flat.mean(axis=0) / 255.0
+    f[3:6] = flat.std(axis=0) / 255.0
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=26, range=(0.0, 255.0))
+    f[6:32] = hist.astype(np.float32) / max(len(gray), 1)
+    return f
+
+
+def _expected_audio_features(sig: np.ndarray,
+                             n_frames: int = 8,
+                             n_bands: int = 16) -> np.ndarray:
+    """Expected ExtractAudioFeatures vector from the RAW float signal:
+    PCM16 quantization (what the WAV round trip preserves), framed
+    |rFFT|, log-spaced band pooling, log1p."""
+    pcm = (np.clip(sig, -1.0, 1.0) * 32767.0).astype("<i2")
+    samples = pcm.astype(np.float32) / 32768.0
+    n = len(samples)
+    if n < n_frames:
+        samples = np.pad(samples, (0, n_frames - n))
+        n = n_frames
+    frame_len = n // n_frames
+    frames = samples[:frame_len * n_frames].reshape(n_frames, frame_len)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(frame_len), axis=1))
+    nbin = spec.shape[1]
+    edges = np.unique(np.geomspace(1, nbin, n_bands + 1).astype(int))
+    while len(edges) < n_bands + 1:
+        edges = np.append(edges, edges[-1] + 1)
+    out = np.empty((n_frames, n_bands), np.float32)
+    for b in range(n_bands):
+        lo, hi = edges[b] - 1, max(edges[b + 1] - 1, edges[b])
+        out[:, b] = spec[:, lo:hi].sum(axis=1)
+    return np.log1p(out).astype(np.float32).reshape(-1)
+
+
+def ensure_media(root: str | None = None, n: int = MEDIA_N,
+                 force: bool = False) -> str:
+    """Media fixture pair for the hash-checked multimodal row:
+
+    * ``media/media.parquet`` — encoded BMP/WAV/Y4M payloads
+      (ops.multimodal.synthesize_media_table);
+    * ``media/media_features.parquet`` — the EXPECTED
+      (media_id, stage, idx, value_e6) feature rows, derived here from
+      the raw pre-encoding arrays (ops.multimodal.media_raws) with
+      fixture-local arithmetic, so the driver's value-hash compares the
+      full encode -> decode -> feature pipeline against closed-form
+      expectations (round-2 verdict: grade content, not row counts).
+    """
+    from ..ops.multimodal import media_raws, synthesize_media_table
+    root = root or FIXTURE_ROOT
+    out_dir = os.path.join(os.path.abspath(root), "media")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={MEDIA_GEN_VERSION} n={n}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(synthesize_media_table(n),
+                   os.path.join(out_dir, "media.parquet"))
+    mids, stages, idxs, vals = [], [], [], []
+    for mid, kind, raw, _meta in media_raws(n):
+        if kind == "image":
+            f = _expected_image_features(raw)
+            e6 = _e6_half_away(f)
+            mids += [mid] * len(f)
+            stages += ["decode"] * len(f)
+            idxs += list(range(len(f)))
+            vals += e6.tolist()
+        elif kind == "audio":
+            f = _expected_audio_features(raw)
+            e6 = _e6_half_away(f)
+            mids += [mid] * len(f)
+            stages += ["audio"] * len(f)
+            idxs += list(range(len(f)))
+            vals += e6.tolist()
+        else:  # video: sampled frame luma means (every 10th, max 4)
+            sel = list(range(0, len(raw), 10))[:4]
+            for fi in sel:
+                mids.append(mid)
+                stages.append("frames")
+                idxs.append(fi)
+                vals.append(int(_e6_half_away(
+                    np.array([raw[fi].mean()]))[0]))
+    feats = pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "stage": pa.array(stages, pa.string()),
+        "idx": pa.array(idxs, pa.int32()),
+        "value_e6": pa.array(vals, pa.int64()),
+    })
+    pq.write_table(feats, os.path.join(out_dir, "media_features.parquet"))
+    with open(done, "w") as f:
+        f.write(f"rows={feats.num_rows} v={MEDIA_GEN_VERSION} n={n}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))

@@ -39,13 +39,14 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic media rows with REAL payloads: BMP gradients+noise
-    for images, sine+noise WAVs for audio, moving-gradient y4m clips
-    for video — so the decode stages below exercise their real kernels
-    end-to-end without any external library."""
+def media_raws(n: int = 64, seed: int = 5):
+    """Yield the deterministic PRE-ENCODING media arrays: one
+    ``(media_id, kind, raw, meta)`` tuple per row — the single source of
+    truth for both :func:`synthesize_media_table` (which encodes them)
+    and the fixture feature oracle (fixtures/gen.py), which derives the
+    expected feature values from these raw arrays so a corrupted byte
+    anywhere in encode/decode/feature-extract fails the hash."""
     rng = np.random.default_rng(seed)
-    payloads, widths, heights, rates = [], [], [], []
     kinds = [("image", "audio", "video")[i % 3] for i in range(n)]
     for i, kind in enumerate(kinds):
         if kind == "image":
@@ -55,23 +56,40 @@ def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
                 (xx * 255 // max(w - 1, 1)),
                 (yy * 255 // max(h - 1, 1)),
                 rng.integers(0, 256, (h, w))], axis=-1).astype(np.uint8)
-            payloads.append(encode_bmp(img))
-            widths.append(w); heights.append(h); rates.append(0)
+            yield i, kind, img, {"width": w, "height": h, "sample_rate": 0}
         elif kind == "audio":
             sr = 16000
             t = np.arange(800 + 16 * (i % 8)) / sr
             freq = 200.0 + 50.0 * (i % 10)
             sig = (np.sin(2 * np.pi * freq * t) * 0.5
                    + rng.standard_normal(len(t)) * 0.05)
-            payloads.append(encode_wav_pcm16(sig, sr))
-            widths.append(0); heights.append(0); rates.append(sr)
+            yield i, kind, sig, {"width": 0, "height": 0, "sample_rate": sr}
         else:
             w, h, nf = 16, 8, 12 + i % 5
             base = np.arange(w, dtype=np.uint8)[None, :] * 15
             frames = np.stack([np.roll(np.broadcast_to(
                 base, (h, w)).copy(), f, axis=1) for f in range(nf)])
-            payloads.append(encode_y4m(frames))
-            widths.append(w); heights.append(h); rates.append(0)
+            yield i, kind, frames, {"width": w, "height": h,
+                                    "sample_rate": 0}
+
+
+def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic media rows with REAL payloads: BMP gradients+noise
+    for images, sine+noise WAVs for audio, moving-gradient y4m clips
+    for video — so the decode stages below exercise their real kernels
+    end-to-end without any external library."""
+    payloads, widths, heights, rates, kinds = [], [], [], [], []
+    for _i, kind, raw, meta in media_raws(n, seed):
+        kinds.append(kind)
+        widths.append(meta["width"])
+        heights.append(meta["height"])
+        rates.append(meta["sample_rate"])
+        if kind == "image":
+            payloads.append(encode_bmp(raw))
+        elif kind == "audio":
+            payloads.append(encode_wav_pcm16(raw, meta["sample_rate"]))
+        else:
+            payloads.append(encode_y4m(raw))
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(kinds),

@@ -25,7 +25,6 @@ hatch — a shared mutable aggregate fed from inside a streaming pass.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -76,16 +75,20 @@ def _batch_key(batch: pa.Table) -> str:
     with thousands of batches a 32-bit boundary fingerprint collides at
     birthday rates (and deterministically when boundary rows repeat),
     and a collision makes the accumulator's last-write-wins dedup drop a
-    whole batch partial — a silent cube undercount. Hashing the two key
-    columns' raw bytes is one memcpy + md5 pass (~GB/s), negligible next
-    to the parse work."""
+    whole batch partial — a silent cube undercount.
+
+    Serialized via Arrow IPC, NOT raw ``arr.buffers()``: zero-copy
+    slices share their parent's buffers (offset/length live on the
+    array, not the buffer), so two different slices of one block would
+    hash identically under raw-buffer hashing and last-write-wins would
+    silently drop a partial. IPC framing writes the offset-adjusted
+    values, one memcpy + md5 pass (~GB/s), negligible next to parse."""
     h = hashlib.md5()
-    for col in ("conv_id", "turn_idx"):
-        arr = batch[col].combine_chunks() if isinstance(
-            batch[col], pa.ChunkedArray) else batch[col]
-        for buf in arr.buffers():
-            if buf is not None:
-                h.update(buf)
+    sink = pa.BufferOutputStream()
+    key_tbl = batch.select(["conv_id", "turn_idx"])
+    with pa.ipc.new_stream(sink, key_tbl.schema) as w:
+        w.write_table(key_tbl)
+    h.update(sink.getvalue())
     h.update(str(batch.num_rows).encode())
     return h.hexdigest()
 
@@ -137,10 +140,9 @@ class FlagshipStage:
             # partition column co-locates a conversation's rows within
             # each sink (one directory per bucket; resume/order-read at
             # bucket granularity)
-            convs = b["conv_id"].to_numpy(zero_copy_only=False)
-            bk = np.fromiter(
-                (zlib.crc32(c.encode()) % self.conv_buckets for c in convs),
-                dtype=np.int32, count=len(convs))
+            from ..stages.aggregate import coarse_bucket_array
+            bk = coarse_bucket_array(
+                b["conv_id"], self.conv_buckets).astype(np.int32)
             b = b.append_column("conv_bucket", pa.array(bk))
         if self.acc is not None and b.num_rows:
             wb = add_time_bucket(b)

@@ -242,6 +242,14 @@ def gelf_chunk_split(batch: pa.Table,
     import pyarrow.compute as pc
     dg = batch[datagram_col]
     dg = dg.combine_chunks() if isinstance(dg, pa.ChunkedArray) else dg
+    if dg.null_count:
+        # a null datagram would propagate a null gelf_chunked, and the
+        # reassembly bucket task's boolean numpy invert then dies on the
+        # object-dtype None — drop them here (an empty UDP read is noise)
+        keep = pc.is_valid(dg)
+        batch = batch.filter(keep)
+        dg = batch[datagram_col]
+        dg = dg.combine_chunks() if isinstance(dg, pa.ChunkedArray) else dg
     is_chunk = pc.and_(
         pc.greater_equal(pc.binary_length(dg), 12),
         pc.equal(pc.binary_slice(dg, 0, 2), GELF_MAGIC))

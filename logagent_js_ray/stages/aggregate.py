@@ -42,12 +42,32 @@ import ray.data
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
 
+_NULL_CRC = zlib.crc32(b"None")  # str(None) — matches the historical loop
+
+
+def _dict_crc32(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Dictionary-encode ``arr`` and crc32 only its UNIQUE values (corpus
+    key columns repeat heavily; the round-2 per-row Python crc32 loop was
+    the last O(rows) Python in the shared bucketing path). Returns
+    (codes int64 with -1 for null, lut uint64 of per-unique crc32)."""
+    enc = arr.dictionary_encode() if not pa.types.is_dictionary(arr.type) \
+        else arr
+    uniq = enc.dictionary.to_pylist()
+    lut = np.fromiter((zlib.crc32(str(v).encode()) for v in uniq),
+                      dtype=np.uint64, count=len(uniq))
+    codes = pc.fill_null(enc.indices, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return codes, lut
+
+
 def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
     """Deterministic ``hash(key) % num_buckets`` over an Arrow array.
     Integer keys hash vectorized (Fibonacci/Knuth multiplicative);
-    strings fall back to a crc32 loop. Shared by the coarse-group
-    pattern everywhere (ops/joins, ops/windows, partitioned
-    tree_merge): group on the bucket, segment exact keys inside."""
+    other types dictionary-encode and crc32 only the unique values
+    (identical per-value results to the historical ``str(v)`` loop).
+    Shared by the coarse-group pattern everywhere (ops/joins,
+    ops/windows, partitioned tree_merge): group on the bucket, segment
+    exact keys inside."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
@@ -59,9 +79,12 @@ def coarse_bucket_array(arr, num_buckets: int) -> np.ndarray:
         v = pc.fill_null(arr, 0).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         return ((v * _KNUTH) >> np.uint64(33)).astype(np.int64) % num_buckets
-    vals = arr.to_pylist()
-    return np.array([zlib.crc32(str(v).encode()) % num_buckets
-                     for v in vals], dtype=np.int64)
+    codes, lut = _dict_crc32(arr)
+    if len(lut) == 0:  # all-null column
+        return np.full(len(codes), _NULL_CRC % num_buckets, dtype=np.int64)
+    h = np.where(codes >= 0, lut[np.maximum(codes, 0)],
+                 np.uint64(_NULL_CRC))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def add_time_bucket(batch: pa.Table, ts_col: str = "@timestamp",
@@ -187,7 +210,15 @@ def salt_column(batch: pa.Table, key_col: str, buckets: int = 16,
     tiny aggregate merges the sub-results (north_rule's skew-aware
     salting). Salt values therefore depend on batch row order — only
     aggregations whose merge is order-independent may use this."""
-    keys = batch[key_col].to_pylist()
-    salts = np.array([(zlib.crc32(str(k).encode()) + i) % buckets
-                      for i, k in enumerate(keys)], dtype=np.int32)
+    arr = batch[key_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    codes, lut = _dict_crc32(arr)
+    if len(lut) == 0:
+        h = np.full(len(codes), _NULL_CRC, dtype=np.uint64)
+    else:
+        h = np.where(codes >= 0, lut[np.maximum(codes, 0)],
+                     np.uint64(_NULL_CRC))
+    salts = ((h + np.arange(len(codes), dtype=np.uint64))
+             % np.uint64(buckets)).astype(np.int32)
     return batch.append_column(salt_col, pa.array(salts, pa.int32()))

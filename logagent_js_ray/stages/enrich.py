@@ -23,7 +23,6 @@ Usage:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -52,23 +51,22 @@ class Enricher:
         self.key = key
         self.columns = columns or [c for c in lookup.column_names if c != key]
         # build the index once per actor (kubernetes-enrichment.js's LRU
-        # cache analogue, but immutable for a batch run)
-        keys = lookup[key].to_pylist()
-        self.index = {k: i for i, k in enumerate(keys)}
+        # cache analogue, but immutable for a batch run); the per-batch
+        # probe is ONE pc.index_in C++ kernel, not a Python dict loop
+        self.keys_arr = lookup[key].combine_chunks()
         self.values = {c: lookup[c].combine_chunks() for c in self.columns}
         self.detect_severity = detect_severity
-        if detect_severity:
-            import re
-            # docker-log-enrichment.js:15-20 errorRegex/warningRegex
-            self.err_re = re.compile(r"(?i)\b(error|exception|fail|fatal)\b")
-            self.warn_re = re.compile(r"(?i)\b(warn|warning)\b")
+        # docker-log-enrichment.js:15-20 errorRegex/warningRegex — run as
+        # Arrow RE2 kernels (match_substring_regex), not Python re per row
+        self.err_pat = r"\b(error|exception|fail|fatal)\b"
+        self.warn_pat = r"\b(warn|warning)\b"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kcol = batch[self.key].to_pylist()
-        idx = np.array([self.index.get(k, -1) for k in kcol], dtype=np.int64)
-        found = idx >= 0
-        take_idx = pa.array(np.where(found, idx, 0),
-                            mask=~found)  # null where no match
+        kcol = batch[self.key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        # null index where no match (or null key) -> take() yields null
+        take_idx = pc.index_in(kcol, value_set=self.keys_arr)
         out = batch
         for c in self.columns:
             out = out.append_column(c, self.values[c].take(take_idx))
@@ -86,17 +84,16 @@ class Enricher:
                 out = out.append_column(
                     "severity", pa.nulls(out.num_rows, pa.string()))
             head = pc.utf8_slice_codeunits(msg, 0, SEVERITY_DETECT_WINDOW)
-            head_np = head.to_numpy(zero_copy_only=False)
-            det = np.full(len(head_np), None, dtype=object)
-            for i, h in enumerate(head_np):
-                if h is None:
-                    continue
-                if self.err_re.search(h):
-                    det[i] = "error"
-                elif self.warn_re.search(h):
-                    det[i] = "warning"
+            err = pc.match_substring_regex(head, self.err_pat,
+                                           ignore_case=True)
+            warn = pc.match_substring_regex(head, self.warn_pat,
+                                            ignore_case=True)
+            det = pc.if_else(
+                err, pa.scalar("error", pa.string()),
+                pc.if_else(warn, pa.scalar("warning", pa.string()),
+                           pa.scalar(None, pa.string())))
             sev_idx = out.schema.get_field_index("severity")
             sev = pc.cast(out["severity"], pa.string())
-            merged = pc.coalesce(sev, pa.array(det, pa.string()))
+            merged = pc.coalesce(sev, det)
             out = out.set_column(sev_idx, "severity", merged)
         return out

@@ -71,6 +71,8 @@ def _partition_metrics(part_dir: str) -> dict:
     """Per-sink routed-row and parse-type counts read back from the
     partition's own output (column-pruned)."""
     ds = pads.dataset(part_dir, partitioning="hive")
+    if not ds.files:  # fragment whose rows were all filtered/dropped
+        return {"rows_out": 0, "sinks": {}, "types": {}}
     tbl = ds.to_table(columns=["sink", "_type"])
     import collections
     sinks = collections.Counter(tbl["sink"].to_pylist())
@@ -80,57 +82,98 @@ def _partition_metrics(part_dir: str) -> dict:
             "types": dict(types)}
 
 
+def _pid_of(frag: str) -> str:
+    return os.path.splitext(os.path.basename(frag))[0]
+
+
 def run_checkpointed(input_path: str, out_dir: str,
                      pattern_paths: list[str] | None = None,
+                     frags_per_pass: int = 8,
                      **pipeline_kwargs) -> dict:
     """Resumable flagship run: per-fragment atomic sink outputs +
     manifest lines. Returns summary counters (the printStats analogue)
     including how many partitions were skipped.
 
-    Each fragment executes as its own Dataset pass (checkpoint unit ==
-    execution unit); at cluster scale fragments are multi-GB so a single
-    fragment already fans out across cores, and consecutive passes
-    pipeline read-ahead through the OS cache. rows_in comes from parquet
-    metadata (free), rows_out/sink counts from a column-pruned read of
-    the partition's own output — so the pipeline executes exactly once
-    per fragment."""
+    PASSES ARE COALESCED: up to ``frags_per_pass`` pending fragments
+    execute in ONE Dataset pass (with many small fragments, one pass per
+    fragment left the cluster idling between passes — round-2 verdict
+    item). The fragment stays the CHECKPOINT unit: the pass writes
+    hive-partitioned by ``_ckpt_pid`` (derived from each row's source
+    file), each fragment's directory is renamed atomically after the
+    pass, and one manifest line is appended per fragment — so a resumed
+    run still skips at fragment granularity. A crash mid-pass re-runs
+    only that pass's fragments (none were renamed yet). rows_in comes
+    from parquet metadata (free); rows_out/sink counts from a
+    column-pruned read of the partition's own output — the pipeline
+    executes exactly once per fragment."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    import ray as _ray
+    import ray.data as _rd
+
     from ..pipelines.flagship import build_routed
 
     frags = list_fragments(input_path)
     man = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     done = man.load()
     rv = registry_version(pattern_paths)
-    skipped, ran = 0, 0
     t0 = time.time()
 
+    pending = []
+    skipped = 0
     for frag in frags:
-        pid = os.path.splitext(os.path.basename(frag))[0]
-        rec = done.get(pid)
+        rec = done.get(_pid_of(frag))
         if rec is not None and rec.get("registry_version") == rv:
             skipped += 1
-            continue
-        part_final = os.path.join(out_dir, f"partition={pid}")
-        part_tmp = os.path.join(out_dir, f".tmp-{pid}")
-        shutil.rmtree(part_tmp, ignore_errors=True)
-        ds = build_routed([frag], pattern_paths=pattern_paths,
+        else:
+            pending.append(frag)
+    ran = len(pending)
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if \
+        _ray.is_initialized() else 8
+    from ..pipelines.fused import write_concurrency
+    from ..sinks import PARQUET_WRITE_OPTS
+
+    for g0 in range(0, len(pending), max(1, frags_per_pass)):
+        group = pending[g0:g0 + max(1, frags_per_pass)]
+        pid_by_path = {frag: _pid_of(frag) for frag in group}
+
+        def add_pid(b: pa.Table) -> pa.Table:
+            # path -> pid via dictionary indices (few uniques per batch)
+            enc = b["path"].combine_chunks().dictionary_encode()
+            lut = [pid_by_path[p] for p in enc.dictionary.to_pylist()]
+            pids = pa.DictionaryArray.from_arrays(
+                enc.indices, pa.array(lut, pa.string())).cast(pa.string())
+            return b.drop_columns(["path"]).append_column(
+                "_ckpt_pid", pids)
+
+        src = _rd.read_parquet(group, include_paths=True,
+                               override_num_blocks=cpus * 4) \
+            .map_batches(add_pid, batch_format="pyarrow")
+        ds = build_routed(src, pattern_paths=pattern_paths,
                           **pipeline_kwargs)
-        from ..pipelines.fused import write_concurrency
-        from ..sinks import PARQUET_WRITE_OPTS
-        ds.write_parquet(part_tmp, partition_cols=["sink"],
+        pass_tmp = os.path.join(out_dir, f".tmp-pass-{g0}")
+        shutil.rmtree(pass_tmp, ignore_errors=True)
+        ds.write_parquet(pass_tmp, partition_cols=["_ckpt_pid", "sink"],
                          concurrency=write_concurrency(),
                          **PARQUET_WRITE_OPTS)
-        if os.path.exists(part_final):
-            shutil.rmtree(part_final)
-        os.rename(part_tmp, part_final)
-        metrics = _partition_metrics(part_final)
-        man.append({
-            "partition": pid, "fragment": frag,
-            "registry_version": rv,
-            "rows_in": pq.read_metadata(frag).num_rows,
-            **metrics,
-        })
-        ran += 1
+        for frag in group:
+            pid = pid_by_path[frag]
+            part_tmp = os.path.join(pass_tmp, f"_ckpt_pid={pid}")
+            part_final = os.path.join(out_dir, f"partition={pid}")
+            os.makedirs(part_tmp, exist_ok=True)  # all-rows-dropped frag
+            if os.path.exists(part_final):
+                shutil.rmtree(part_final)
+            os.rename(part_tmp, part_final)
+            metrics = _partition_metrics(part_final)
+            man.append({
+                "partition": pid, "fragment": frag,
+                "registry_version": rv,
+                "rows_in": pq.read_metadata(frag).num_rows,
+                **metrics,
+            })
+        shutil.rmtree(pass_tmp, ignore_errors=True)
 
     done = man.load()
     total = {

@@ -408,3 +408,115 @@ def test_tumbling_pre_epoch_floor(ray_session):
     # floor semantics: the pre-epoch event belongs to 23:45, not 00:00
     assert wins[0] == datetime.datetime(1969, 12, 31, 23, 45)
     assert wins[1] == datetime.datetime(1970, 1, 1, 0, 0)
+
+
+def test_lang_id_agreement_deterministic():
+    """Pin the lang-ID heuristic's full confusion surface on the driver
+    testdata (round-2 verdict: d_lang_id had neither oracle nor
+    closed-form check). The fixture labels are noise relative to the
+    English-like texts, so agreement is ~chance by construction — what
+    this asserts is that predictions are DETERMINISTIC and any heuristic
+    change shows up as a changed matrix."""
+    import os
+    import pyarrow.parquet as pq
+    from logagent_js_ray.ops.text_analysis import lang_id_batch
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("driver testdata not present")
+    t = pq.read_table(path, columns=["doc_id", "text", "lang"])
+    out = lang_id_batch(t).select(["lang", "pred_lang"]).to_pandas()
+    conf = (out.groupby(["lang", "pred_lang"]).size()
+            .sort_index())
+    # two independent evaluations must agree bit-for-bit
+    out2 = lang_id_batch(t).select(["lang", "pred_lang"]).to_pandas()
+    conf2 = out2.groupby(["lang", "pred_lang"]).size().sort_index()
+    assert conf.equals(conf2)
+    agree = (out["lang"] == out["pred_lang"]).mean()
+    # deterministic values at sf0.001 (recorded 2026-08-17); drift only
+    # if the heuristic or the driver's testdata generator changes
+    assert conf.sum() == len(t) == 500
+    assert round(float(agree), 4) == 0.208
+    assert conf[("en", "en")] == 55 and conf[("de", "de")] == 30
+
+
+def test_sessionize_chunked_matches_unchunked(ray_session):
+    """Hot-key chunked sessionization (hot_key_chunk_minutes) must
+    produce bit-identical sessions to the single-pass path, including
+    sessions spanning chunk boundaries, null keys, and a hot key with
+    10x the per-key volume of everything else."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.windows import sessionize
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hot key: 400 events, alternating 5-min steps (one long session
+    # crossing many 60-min chunks) then a 90-min gap every 50 events
+    m = 0
+    for i in range(400):
+        m += 90 if i % 50 == 49 else 5
+        rows.append(("hot", m, float(i % 7) if i % 3 else None))
+    # normal keys: ~40 events each
+    for k in range(8):
+        for i in range(40):
+            rows.append((f"u{k}", k * 7 + i * (11 if i % 4 else 70),
+                         float(i)))
+    # null keys and a key equal to the string sentinel
+    for i in range(12):
+        rows.append((None, i * 25, 1.0))
+        rows.append(("\0null", i * 25, 2.0))
+    rng = np.random.default_rng(3)
+    order = rng.permutation(len(rows))
+    tbl = pa.table({
+        "user_id": pa.array([rows[i][0] for i in order], pa.string()),
+        "ts": pa.array([t0 + datetime.timedelta(minutes=rows[i][1])
+                        for i in order], pa.timestamp("us")),
+        "value": pa.array([rows[i][2] for i in order], pa.float64()),
+    })
+
+    def norm(df):
+        return (df.sort_values(["user_id", "session_id"],
+                               na_position="first")
+                .reset_index(drop=True))
+
+    base = norm(sessionize(ray.data.from_arrow(tbl), gap_minutes=30.0,
+                           num_buckets=4).to_pandas())
+    chunked = norm(sessionize(ray.data.from_arrow(tbl), gap_minutes=30.0,
+                              num_buckets=4,
+                              hot_key_chunk_minutes=60.0).to_pandas())
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, chunked)
+    # the sentinel-value key must NOT have merged with null-key sessions
+    assert (base["user_id"] == "\0null").sum() > 0
+    assert base["user_id"].isna().sum() > 0
+
+
+def test_ngram_jaccard_pairs_hashed_mode(ray_session):
+    """hashed_shingles=True (8-byte hash shuffle instead of shingle
+    strings) must yield the same pairs and jaccard values on a corpus
+    with no hash collisions (the declared 2^-64 approximation)."""
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.dedup import ngram_jaccard_pairs
+    docs = {
+        0: "a b c d e f g h",
+        1: "a b c d e f g x",
+        2: "p q r s t u v w",
+        3: "a b c d e f g h",
+        4: "m n o p q r s t u v w",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    kw = dict(threshold_num=1, threshold_den=3,
+              num_buckets=8, pair_partitions=4)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard_e6"]
+             for r in ngram_jaccard_pairs(ds, **kw).take_all()}
+    hashed = {(r["id_a"], r["id_b"]): r["jaccard_e6"]
+              for r in ngram_jaccard_pairs(
+                  ds, hashed_shingles=True, **kw).take_all()}
+    assert exact == hashed and exact[(0, 3)] == 1_000_000

@@ -95,3 +95,39 @@ def test_read_lines_per_file_offsets(ray_session, tmp_path):
     assert len(by_idx) == 3000  # no duplicate turn_idx
     assert by_idx[0] == "line-0" and by_idx[2999] == "line-2999"
     assert rows[0]["conv_id"] == "big.log"
+
+
+def test_coalesced_passes_match_single_fragment_passes(
+        ray_session, sf_small, tool_catalog_path, tmp_path):
+    """frags_per_pass>1 (coalesced Dataset passes; round-2 verdict item)
+    must write byte-identical partition contents and manifest rows to
+    the one-fragment-per-pass path, and resume must still skip at
+    FRAGMENT granularity mid-group."""
+    from logagent_js_ray.sources.transcripts import list_fragments
+    from logagent_js_ray.state.manifest import Manifest, run_checkpointed
+
+    frags = list_fragments(sf_small)
+    a_dir, b_dir = str(tmp_path / "one"), str(tmp_path / "many")
+    ra = run_checkpointed(sf_small, a_dir, frags_per_pass=1,
+                          tool_catalog=tool_catalog_path)
+    rb = run_checkpointed(sf_small, b_dir, frags_per_pass=3,
+                          tool_catalog=tool_catalog_path)
+    assert ra["sinks"] == rb["sinks"]
+    assert ra["rows_out"] == rb["rows_out"]
+    assert sorted_rows(a_dir).equals(sorted_rows(b_dir))
+    man_a = Manifest(os.path.join(a_dir, "manifest.jsonl")).load()
+    man_b = Manifest(os.path.join(b_dir, "manifest.jsonl")).load()
+    assert set(man_a) == set(man_b) == {
+        os.path.splitext(os.path.basename(f))[0] for f in frags}
+    for pid in man_a:
+        assert man_a[pid]["sinks"] == man_b[pid]["sinks"]
+        assert man_a[pid]["rows_in"] == man_b[pid]["rows_in"]
+
+    # mid-group resume: complete ONE fragment, then run coalesced —
+    # the completed fragment must be skipped, the rest grouped
+    c_dir = str(tmp_path / "mid")
+    run_checkpointed(frags[:1], c_dir, tool_catalog=tool_catalog_path)
+    res = run_checkpointed(sf_small, c_dir, frags_per_pass=3,
+                           tool_catalog=tool_catalog_path)
+    assert res["skipped"] == 1 and res["ran"] == len(frags) - 1
+    assert sorted_rows(c_dir).equals(sorted_rows(a_dir))
