@@ -17,6 +17,19 @@ LogParser instance) and holds:
 
 User pattern files are merged BEFORE the defaults, mirroring
 mergePatternFiles.js:48 (user patterns prepended).
+
+Environment switches (same names as the reference,
+parser.js:31-57 + bin/logagent.js:131-185):
+
+  * ``DISABLE_DEFAULT_PATTERNS`` — don't load the bundled patterns.yml;
+  * ``PATTERN_MATCHING_ENABLED=false`` — regex pattern matching off
+    entirely (JSON fast path + fallback records still run);
+  * ``SCAN_ALL_PATTERNS`` — try every pattern group regardless of its
+    ``source`` gate (the reference's match-all scan mode);
+  * ``PATTERNS_URL`` — extra pattern file merged first. The reference
+    downloads this over HTTP; this sandbox has no network, so a
+    ``file://`` URL or plain path is accepted and http(s) raises with
+    instructions to download the file and point PATTERNS_URL at it.
 """
 
 from __future__ import annotations
@@ -88,11 +101,42 @@ class PatternGroup:
         self.compiled_source = re.compile(self.source)
 
 
+def _env_true(name: str) -> bool:
+    return os.environ.get(name, "").strip().lower() in (
+        "1", "true", "yes", "on")
+
+
+def _patterns_url_path() -> str | None:
+    """PATTERNS_URL as a local file (no network in this sandbox)."""
+    url = os.environ.get("PATTERNS_URL", "").strip()
+    if not url:
+        return None
+    if url.startswith("file://"):
+        return url[len("file://"):]
+    if url.startswith(("http://", "https://")):
+        raise RuntimeError(
+            "PATTERNS_URL: this environment has no network access; "
+            "download the pattern file and set PATTERNS_URL to its "
+            "local path (or file:// URL)")
+    return url
+
+
 class PatternRegistry:
     def __init__(self, paths: list[str] | None = None):
-        paths = list(paths or []) + [DEFAULT_PATTERNS]  # user files first
+        paths = list(paths or [])  # user files first
+        url_p = _patterns_url_path()
+        if url_p:
+            paths = [url_p] + paths  # remote-equivalent merges first,
+            # like the reference's downloaded-patterns precedence
+        if not _env_true("DISABLE_DEFAULT_PATTERNS"):
+            paths = paths + [DEFAULT_PATTERNS]
+        self.scan_all = _env_true("SCAN_ALL_PATTERNS")
         self.groups: list[PatternGroup] = []
         self.autohash: str | None = None
+        pm = os.environ.get("PATTERN_MATCHING_ENABLED", "").strip().lower()
+        if pm in ("false", "0", "no", "off"):
+            return  # parser.js:31-41: regex matching disabled entirely —
+            # the parse stage still runs the JSON fast path + fallback
         for p in paths:
             with open(p) as f:
                 doc = yaml.safe_load(f) or {}
@@ -117,7 +161,10 @@ class PatternRegistry:
                                                 match=entries))
 
     def entries_for_source(self, log_source: str) -> list[MatchEntry]:
-        """Pattern subset whose source regex matches (parser.js:170-196)."""
+        """Pattern subset whose source regex matches (parser.js:170-196);
+        SCAN_ALL_PATTERNS ignores the source gate (parser.js:31-38)."""
+        if self.scan_all:
+            return self.all_entries()
         out: list[MatchEntry] = []
         for g in self.groups:
             if g.compiled_source.search(log_source):
@@ -180,7 +227,13 @@ def load_registry(paths: list[str] | None = None) -> PatternRegistry:
         except OSError:
             return 0
 
-    key = tuple((p, _mt(p)) for p in (paths or []))
+    env_key = (
+        _os.environ.get("DISABLE_DEFAULT_PATTERNS", ""),
+        _os.environ.get("PATTERN_MATCHING_ENABLED", ""),
+        _os.environ.get("SCAN_ALL_PATTERNS", ""),
+        _os.environ.get("PATTERNS_URL", ""),
+    )
+    key = (tuple((p, _mt(p)) for p in (paths or [])), env_key)
     if key not in _CACHE:
         _CACHE[key] = PatternRegistry(list(paths or []) or None)
     return _CACHE[key]

@@ -114,19 +114,24 @@ def _ips_to_int(ips: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 class GeoCityEnricher:
     """Actor-pool geoip lookup over a compiled GeoLite2 range table
-    (geoip.js:20-53 dataflow). Construct with either csv paths (each
-    actor compiles the table once in ``__init__``) or ``table_ref`` (a
-    ``ray.put`` of ``load_geolite_city_csv``'s dict — one copy in the
-    object store shared zero-ish-copy by every actor on a node)."""
+    (geoip.js:20-53 dataflow). Construct with csv paths, an
+    ``mmdb_path`` (the binary artifact the reference actually ships —
+    decoded by :mod:`.mmdb` into the same range table), or ``table_ref``
+    (a ``ray.put`` of either loader's dict — one copy in the object
+    store shared zero-ish-copy by every actor on a node)."""
 
     def __init__(self, blocks_csv: str | None = None,
                  locations_csv: str | None = None,
-                 table_ref=None, ip_col: str = "client_ip"):
+                 table_ref=None, ip_col: str = "client_ip",
+                 mmdb_path: str | None = None):
         pa.set_cpu_count(1)
         self.ip_col = ip_col
         if table_ref is not None:
             import ray
             t = ray.get(table_ref)
+        elif mmdb_path is not None:
+            from .mmdb import load_maxmind_mmdb
+            t = load_maxmind_mmdb(mmdb_path)
         else:
             t = load_geolite_city_csv(blocks_csv, locations_csv)
         self.t = t

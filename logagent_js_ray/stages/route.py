@@ -73,9 +73,16 @@ class RouteConfig:
         """``routes``: ordered [(sink_name, source_regex), ...] — the
         analogue of the ES output's ``indices: {token: [regex, ...]}``.
         Sink names (and _index overrides) may carry YYYY/MM/DD tokens,
-        expanded per row from ``ts_col`` (elasticsearch.js:202,227)."""
-        self.routes = list(routes)
-        self.default_sink = default_sink
+        expanded per row from ``ts_col`` (elasticsearch.js:202,227).
+
+        A sink name or ``default_sink`` may also be a CALLABLE CONFIG
+        VALUE — ``"$fn:name"`` referencing functions/config_fns.py, the
+        no-eval analogue of the reference's index-as-function-of-event
+        (config-reducer.js:3-20, elasticsearch.js:180) — resolved here
+        once and evaluated vectorized per batch."""
+        from ..functions.config_fns import resolve_config_value
+        self.routes = [(resolve_config_value(n), rx) for n, rx in routes]
+        self.default_sink = resolve_config_value(default_sink)
         self.drop_unmatched = drop_unmatched
         self.source_col = source_col
         self.index_override_col = index_override_col
@@ -97,14 +104,23 @@ def route_batch(batch: pa.Table, cfg: RouteConfig) -> pa.Table:
         todo = pc.is_null(sink)
         hit = pc.and_(todo, pc.fill_null(
             pc.match_substring_regex(src, regex), False))
-        sink = pc.if_else(hit, pa.scalar(name, pa.string()), sink)
+        if callable(name):  # callable config value: per-event sink
+            from ..functions.config_fns import fn_values
+            sink = pc.if_else(hit, fn_values(name, batch), sink)
+        else:
+            sink = pc.if_else(hit, pa.scalar(name, pa.string()), sink)
     # precedence 3: default / drop
     if cfg.drop_unmatched:
         sink = _expand_date_templates(sink, batch, cfg.ts_col)
         out = batch.append_column("sink", sink)
         return out.filter(pc.is_valid(sink))
     if cfg.default_sink is not None:
-        sink = pc.coalesce(sink, pa.scalar(cfg.default_sink, pa.string()))
+        if callable(cfg.default_sink):
+            from ..functions.config_fns import fn_values
+            sink = pc.coalesce(sink, fn_values(cfg.default_sink, batch))
+        else:
+            sink = pc.coalesce(sink,
+                               pa.scalar(cfg.default_sink, pa.string()))
     sink = _expand_date_templates(sink, batch, cfg.ts_col)
     return batch.append_column("sink", sink)
 
