@@ -276,22 +276,22 @@ class SimHasher:
                 h = _simhash_token_hash(t)
                 cache[t] = h
             th[i] = h
-        # (tokens, 64) ±1 sign matrix via unpackbits on the uint64 view
+        # (tokens, 64) bit matrix via unpackbits on the uint64 view,
+        # then per-document per-bit set-token counts as PREFIX-SUM
+        # differences along the CONTIGUOUS axis of the transposed
+        # matrix (np.add.reduceat / axis-0 cumsum are stride-hostile:
+        # 5-10x slower, measured). v = 2*cnt - n recovers the ±1 sum;
+        # empty docs fall out as cnt=0, n=0 -> hash 0.
         bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8),
-                             axis=1, bitorder="little").astype(np.int32)
-        signs = 2 * bits - 1
-        # per-document segment sums (docs with 0 tokens produce empty
-        # segments -> reduceat needs explicit handling)
+                             axis=1, bitorder="little")
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        nonempty = counts > 0
-        v = np.zeros((len(counts), 64), dtype=np.int64)
-        if nonempty.any():
-            seg = np.add.reduceat(signs, offsets[nonempty], axis=0)
-            # reduceat folds adjacent segments when a later offset
-            # repeats (consecutive empty docs) — offsets[nonempty] are
-            # strictly increasing, so each output row is one document
-            v[nonempty] = seg[:int(nonempty.sum())]
+        ends = offsets + counts
+        bT = np.ascontiguousarray(bits.T)  # (64, tokens) uint8
+        csT = np.zeros((64, len(th) + 1), np.int64)
+        np.cumsum(bT, axis=1, dtype=np.int64, out=csT[:, 1:])
+        cnt = (csT[:, ends] - csT[:, offsets]).T  # (docs, 64)
+        v = 2 * cnt - counts[:, None]
         hs = ((v > 0).astype(np.uint64)
               * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(axis=1)
         return batch.append_column(
