@@ -60,6 +60,7 @@ def main(argv=None) -> int:
             drop_events=cfg.drop_events or None,
             multiline=cfg.multiline,
             max_log_size=cfg.max_log_size,
+            geoip=cfg.geoip,
         )
         if cfg.input_kind == "lines" and not args.glob:
             from .sources.transcripts import read_lines

@@ -44,6 +44,7 @@ class PipelineConfig:
     multiline: bool = False
     drop_events: dict = field(default_factory=dict)
     max_log_size: int | None = None
+    geoip: dict | None = None
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -106,6 +107,18 @@ def load_config(path: str) -> PipelineConfig:
             cfg.detect_severity = bool(f_["enrich"].get("detectSeverity"))
         if "dropEvents" in f_:
             cfg.drop_events = f_["dropEvents"]
+        if "geoip" in f_:
+            # geoip output filter (geoip.js:20-53): point at the binary
+            # mmdb artifact (maxmindDbDir analogue) OR a GeoLite2 CSV
+            # snapshot pair; `field` names the IP column
+            g = f_["geoip"] or {}
+            geo: dict = {"field": g.get("field", "client_ip")}
+            if g.get("mmdb"):
+                geo["mmdb"] = resolve(g["mmdb"])
+            elif g.get("blocksCsv"):
+                geo["blocksCsv"] = resolve(g["blocksCsv"])
+                geo["locationsCsv"] = resolve(g["locationsCsv"])
+            cfg.geoip = geo
     if mask_kwargs:
         cfg.mask = MaskConfig(**mask_kwargs)
 

@@ -63,6 +63,7 @@ def build_routed(input_path,
                  drop_events: dict | None = None,
                  multiline: bool = False,
                  max_log_size: int | None = None,
+                 geoip: dict | None = None,
                  emit: str = "rows") -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
@@ -116,6 +117,23 @@ def build_routed(input_path,
         ds = ds.map_batches(make_drop_events_fn(
             include=drop_events.get("include"),
             exclude=drop_events.get("exclude")), batch_format="pyarrow")
+    if geoip:
+        # config-driven geoip output-filter (geoip.js:20-53): its own
+        # actor pool AFTER the fused stage — the range table is large
+        # (real snapshots ~200 MB compiled) and opt-in, so it must not
+        # bloat every flagship actor; autoscaling pool so it coexists
+        # with the fused pool at any session size
+        from ..sources.geolite import GeoCityEnricher
+        geo_kwargs = {"ip_col": geoip.get("field", "client_ip")}
+        if geoip.get("mmdb"):
+            geo_kwargs["mmdb_path"] = geoip["mmdb"]
+        else:
+            geo_kwargs["blocks_csv"] = geoip["blocksCsv"]
+            geo_kwargs["locations_csv"] = geoip["locationsCsv"]
+        ds = ds.map_batches(GeoCityEnricher,
+                            fn_constructor_kwargs=geo_kwargs,
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=(1, 8))
     return ds
 
 

@@ -139,3 +139,51 @@ def test_config_full_wiring(ray_session, tmp_path):
                        drop_events={"exclude": {"text": "ERROR"}})
     assert sorted(r["text"] for r in ds2.take_all()) == \
         ["discard me", "keep info one"]
+
+
+def test_config_geoip_block(tmp_path):
+    """outputFilter geoip: {mmdb | blocksCsv/locationsCsv, field} parses
+    with config-relative path resolution."""
+    import yaml
+
+    from logagent_js_ray.config import load_config
+    cfgf = tmp_path / "g.yml"
+    cfgf.write_text(yaml.safe_dump({
+        "input": {"parquet": {"path": "/data/in"}},
+        "outputFilter": [
+            {"geoip": {"mmdb": "GeoLite2-City.mmdb", "field": "ip"}},
+        ],
+    }))
+    cfg = load_config(str(cfgf))
+    assert cfg.geoip == {"field": "ip",
+                         "mmdb": str(tmp_path / "GeoLite2-City.mmdb")}
+    cfgf.write_text(yaml.safe_dump({
+        "input": {"parquet": {"path": "/data/in"}},
+        "outputFilter": [{"geoip": {
+            "blocksCsv": "/abs/blocks.csv",
+            "locationsCsv": "/abs/locs.csv"}}],
+    }))
+    cfg = load_config(str(cfgf))
+    assert cfg.geoip == {"field": "client_ip",
+                         "blocksCsv": "/abs/blocks.csv",
+                         "locationsCsv": "/abs/locs.csv"}
+
+
+def test_config_geoip_end_to_end(ray_session, sf_small,
+                                 tool_catalog_path):
+    """build_routed(geoip=...) appends geo_* columns from the snapshot:
+    parsed access-log rows (client_ip present) resolve, others null."""
+    from logagent_js_ray.pipelines.flagship import build_routed
+    from logagent_js_ray.sources.geolite import ensure_geolite_fixture
+    blocks, locs = ensure_geolite_fixture()
+    ds = build_routed(sf_small, tool_catalog=tool_catalog_path,
+                      concurrency=(1, 2),
+                      geoip={"field": "client_ip",
+                             "blocksCsv": blocks, "locationsCsv": locs})
+    df = ds.take_batch(4096, batch_format="pandas")
+    assert "geo_country" in df.columns and "geo_lat" in df.columns
+    with_ip = df[df["client_ip"].notna()]
+    assert len(with_ip) > 0
+    # fixture snapshot covers the full IPv4 space -> every IP resolves
+    assert with_ip["geo_country"].notna().all()
+    assert df.loc[df["client_ip"].isna(), "geo_country"].isna().all()

@@ -222,3 +222,53 @@ def test_gelf_chunk_roundtrip_any_payload(texts, chunk):
     for mid, payload in originals.items():
         got = b"".join(v for _, v in sorted(joined[mid].items()))
         assert got == payload
+
+
+# ---------------------------------------------------------------- mmdb
+
+# disjoint CIDR set: pick prefix length then a block index within it
+_NETS = st.lists(
+    st.tuples(st.integers(min_value=4, max_value=24),   # prefix length
+              st.integers(min_value=0, max_value=2**24 - 1)),
+    min_size=1, max_size=24)
+
+
+@settings(max_examples=60, deadline=None)
+@given(nets=_NETS, record_size=st.sampled_from([24, 28, 32]),
+       ip_version=st.sampled_from([4, 6]))
+def test_mmdb_reader_matches_inserted_networks(tmp_path_factory, nets,
+                                               record_size, ip_version):
+    """Property: for ANY disjoint network set, the enumerated range
+    table covers exactly the inserted CIDRs with the right records
+    (write -> read round trip over random trees, all record sizes)."""
+    import numpy as np
+
+    from logagent_js_ray.sources.mmdb import load_maxmind_mmdb
+    from tests.test_mmdb import build_mmdb, geo_record
+
+    # normalize to disjoint networks: sort by start, drop overlaps
+    cand = []
+    for plen, idx in nets:
+        start = (idx % (1 << plen)) << (32 - plen)
+        cand.append((start, start + (1 << (32 - plen)) - 1, plen))
+    cand.sort()
+    chosen, hi = [], -1
+    for s, e, plen in cand:
+        if s > hi:
+            chosen.append((s, e, plen))
+            hi = e
+    records = [geo_record(f"C{j % 50}", f"city-{j % 50}", "NA",
+                          float(j), -float(j))
+               for j in range(len(chosen))]
+    networks = [
+        (f"{s >> 24}.{(s >> 16) & 255}.{(s >> 8) & 255}.{s & 255}/{p}", j)
+        for j, (s, _e, p) in enumerate(chosen)]
+    path = tmp_path_factory.mktemp("mmdb") / "t.mmdb"
+    path.write_bytes(build_mmdb(networks, records, record_size,
+                                ip_version))
+    t = load_maxmind_mmdb(str(path))
+    # enumerated ranges == inserted ranges, in order, with right payloads
+    assert list(t["start"]) == [s for s, _e, _p in chosen]
+    assert list(t["end"]) == [e for _s, e, _p in chosen]
+    assert list(t["country"]) == [f"C{j % 50}" for j in range(len(chosen))]
+    assert np.array_equal(t["lat"], np.arange(len(chosen), dtype=float))
