@@ -116,8 +116,17 @@ def load_config(path: str) -> PipelineConfig:
             if g.get("mmdb"):
                 geo["mmdb"] = resolve(g["mmdb"])
             elif g.get("blocksCsv"):
+                if not g.get("locationsCsv"):
+                    raise ValueError(
+                        "geoip: blocksCsv requires locationsCsv "
+                        "(the GeoLite2 CSV snapshot is a file pair)")
                 geo["blocksCsv"] = resolve(g["blocksCsv"])
                 geo["locationsCsv"] = resolve(g["locationsCsv"])
+            else:
+                # fail at config-load time, not mid-pipeline
+                raise ValueError(
+                    "geoip needs either mmdb: <GeoLite2-City.mmdb> or "
+                    "the blocksCsv/locationsCsv snapshot pair")
             cfg.geoip = geo
     if mask_kwargs:
         cfg.mask = MaskConfig(**mask_kwargs)

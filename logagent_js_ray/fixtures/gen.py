@@ -304,8 +304,8 @@ MEDIA_N = 96
 
 
 def _e6_half_away(x: np.ndarray) -> np.ndarray:
-    v = np.asarray(x, np.float64) * 1e6
-    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    from ..ops import e6_round_half_away  # single shared rounding rule
+    return e6_round_half_away(x)
 
 
 def _expected_image_features(img: np.ndarray) -> np.ndarray:

@@ -513,10 +513,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
         c2 = out["c"].to_numpy(zero_copy_only=False).astype(np.float64)
         u2 = (out["sa"].to_numpy(zero_copy_only=False)
               + out["sb"].to_numpy(zero_copy_only=False) - c2)
-        # SQL round() is half-AWAY-from-zero; np.rint is half-to-even
-        # and would hash-mismatch DuckDB on exact-.5 quotients
-        # (jaccard >= 0, so floor(x + 0.5) suffices)
-        j_e6 = np.floor(1e6 * c2 / np.maximum(u2, 1) + 0.5).astype(np.int64)
+        from . import e6_round_half_away  # SQL round() semantics
+        j_e6 = e6_round_half_away(c2 / np.maximum(u2, 1))
         return pa.table({"id_a": out["id_a"], "id_b": out["id_b"],
                          "jaccard_e6": pa.array(j_e6)})
 

@@ -153,6 +153,15 @@ class DecodeImage:
         return _digest_features(b"image:", payload, self.FEATURE_DIM), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray emits empty blocks routinely, and
+            # an upstream kind filter can empty a block entirely
+            out = batch.drop_columns(["payload"])
+            out = out.append_column("features", pa.nulls(
+                0, pa.list_(pa.float32(), self.FEATURE_DIM)))
+            out = out.append_column("decoded_w", pa.array([], pa.int32()))
+            out = out.append_column("decoded_h", pa.array([], pa.int32()))
+            return out.append_column("real_decode",
+                                     pa.array([], pa.bool_()))
         payloads = batch["payload"].to_pylist()
         pairs = [self._decode_impl(p) for p in payloads]
         feats = np.stack([p[0] for p in pairs])

@@ -121,17 +121,26 @@ def build_routed(input_path,
         # config-driven geoip output-filter (geoip.js:20-53): its own
         # actor pool AFTER the fused stage — the range table is large
         # (real snapshots ~200 MB compiled) and opt-in, so it must not
-        # bloat every flagship actor; autoscaling pool so it coexists
-        # with the fused pool at any session size
-        from ..sources.geolite import GeoCityEnricher
-        geo_kwargs = {"ip_col": geoip.get("field", "client_ip")}
+        # bloat every flagship actor. Compile ONCE on the driver and
+        # broadcast via ray.put: one object-store copy per node instead
+        # of up to 8 actors independently parsing the full snapshot.
+        # Autoscaling pool so it coexists with the fused pool at any
+        # session size.
+        import ray as _ray2
+
+        from ..sources.geolite import (GeoCityEnricher,
+                                       load_geolite_city_csv)
         if geoip.get("mmdb"):
-            geo_kwargs["mmdb_path"] = geoip["mmdb"]
+            from ..sources.mmdb import load_maxmind_mmdb
+            table = load_maxmind_mmdb(geoip["mmdb"])
         else:
-            geo_kwargs["blocks_csv"] = geoip["blocksCsv"]
-            geo_kwargs["locations_csv"] = geoip["locationsCsv"]
+            table = load_geolite_city_csv(geoip["blocksCsv"],
+                                          geoip["locationsCsv"])
         ds = ds.map_batches(GeoCityEnricher,
-                            fn_constructor_kwargs=geo_kwargs,
+                            fn_constructor_kwargs={
+                                "table_ref": _ray2.put(table),
+                                "ip_col": geoip.get("field",
+                                                    "client_ip")},
                             batch_format="pyarrow", batch_size=None,
                             concurrency=(1, 8))
     return ds

@@ -170,18 +170,39 @@ def load_maxmind_mmdb(path: str) -> dict:
     tree_size = node_count * node_bytes
     data_origin = tree_size + 16  # 16-byte zero separator after the tree
 
+    starts, ends, recs = [], [], []
+    cache: dict[int, tuple] = {}
+
+    def record_fields(val: int) -> tuple:
+        abs_pos = tree_size + (val - node_count)
+        fields = cache.get(abs_pos)
+        if fields is None:
+            d, _ = _decode(raw, abs_pos, data_origin)
+            if not isinstance(d, dict):
+                raise ValueError("mmdb data record is not a map")
+            fields = _geo_fields(d)
+            cache[abs_pos] = fields
+        return fields
+
     root = 0
     if ip_version == 6:
-        # IPv4 space lives under ::/96 — descend 96 zero bits
+        # IPv4 space lives under ::/96 — descend 96 zero bits. A DATA
+        # record met on the way down covers a prefix that CONTAINS the
+        # whole v4 space (e.g. a record at ::/64): apply it to all of
+        # IPv4, exactly like a per-lookup tree walk would resolve it.
         for _ in range(96):
             nxt = rec(root, 0)
-            if nxt >= node_count:
-                root = None  # no v4 records at all (or one covering all)
+            if nxt == node_count:
+                root = None  # empty record: no v4 data at all
+                break
+            if nxt > node_count:
+                starts.append(0)
+                ends.append((1 << 32) - 1)
+                recs.append(record_fields(nxt))
+                root = None
                 break
             root = nxt
 
-    starts, ends, recs = [], [], []
-    cache: dict[int, tuple] = {}
     if root is not None:
         stack = [(root, 0, 0)]
         while stack:
@@ -196,17 +217,9 @@ def load_maxmind_mmdb(path: str) -> dict:
                         raise ValueError("IPv4 tree deeper than 32 bits")
                     stack.append((val, depth + 1, p))
                     continue
-                abs_pos = tree_size + (val - node_count)
-                fields = cache.get(abs_pos)
-                if fields is None:
-                    d, _ = _decode(raw, abs_pos, data_origin)
-                    if not isinstance(d, dict):
-                        raise ValueError("mmdb data record is not a map")
-                    fields = _geo_fields(d)
-                    cache[abs_pos] = fields
                 starts.append(p)
                 ends.append(p + (1 << (32 - (depth + 1))) - 1)
-                recs.append(fields)
+                recs.append(record_fields(val))
 
     start = np.asarray(starts, dtype=np.int64)
     order = np.argsort(start, kind="stable")

@@ -52,9 +52,14 @@ class Enricher:
         self.columns = columns or [c for c in lookup.column_names if c != key]
         # build the index once per actor (kubernetes-enrichment.js's LRU
         # cache analogue, but immutable for a batch run); the per-batch
-        # probe is ONE pc.index_in C++ kernel, not a Python dict loop
-        self.keys_arr = lookup[key].combine_chunks()
-        self.values = {c: lookup[c].combine_chunks() for c in self.columns}
+        # probe is ONE pc.index_in C++ kernel, not a Python dict loop.
+        # index_in returns the FIRST occurrence while the historical
+        # dict build was last-wins on duplicate keys — reverse the
+        # lookup once at init so duplicate-key catalogs keep resolving
+        # to the newest (last) row
+        rev = lookup.take(pa.array(range(lookup.num_rows - 1, -1, -1)))
+        self.keys_arr = rev[key].combine_chunks()
+        self.values = {c: rev[c].combine_chunks() for c in self.columns}
         self.detect_severity = detect_severity
         # docker-log-enrichment.js:15-20 errorRegex/warningRegex — run as
         # Arrow RE2 kernels (match_substring_regex), not Python re per row

@@ -235,8 +235,13 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
         sub_text = pc.take(text, take_idx)
         ext = pc.extract_regex(sub_text, entry.regex)
         valid_sub = pc.is_valid(ext)
-        # sourceName routing gate (parser.js:170-196)
-        src = entry_source.get(id(entry), ".*")
+        # sourceName routing gate (parser.js:170-196);
+        # SCAN_ALL_PATTERNS disables the gate (parser.js:31-38) — the
+        # registry flag must gate HERE, not only in entries_for_source
+        # (which the pure-Python oracle uses), or pipeline and oracle
+        # diverge whenever the env switch is set
+        src = ".*" if registry.scan_all \
+            else entry_source.get(id(entry), ".*")
         if src not in (".*", ""):
             valid_sub = pc.and_(valid_sub, pc.match_substring_regex(
                 pc.take(role, take_idx), src))

@@ -37,10 +37,27 @@ from ..sources.transcripts import list_fragments
 
 
 def registry_version(paths: list[str] | None = None) -> str:
+    """Lineage key for checkpoint skips: pattern-file CONTENT plus the
+    pattern environment switches — registry.py makes all four alter
+    parse output, so a fragment parsed under a different env must not
+    be treated as complete (the same reason load_registry env-keys its
+    cache)."""
     h = hashlib.sha256()
     for p in list(paths or []) + [DEFAULT_PATTERNS]:
         with open(p, "rb") as f:
             h.update(f.read())
+    for var in ("DISABLE_DEFAULT_PATTERNS", "PATTERN_MATCHING_ENABLED",
+                "SCAN_ALL_PATTERNS"):
+        h.update(f"{var}={os.environ.get(var, '')};".encode())
+    url = os.environ.get("PATTERNS_URL", "")
+    h.update(f"PATTERNS_URL={url};".encode())
+    if url:  # content, not just the path: the merged patterns changed
+        from ..registry import _patterns_url_path
+        try:
+            with open(_patterns_url_path(), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass  # unreadable now -> registry build will fail loudly
     return h.hexdigest()[:16]
 
 
@@ -137,18 +154,25 @@ def run_checkpointed(input_path: str, out_dir: str,
 
     for g0 in range(0, len(pending), max(1, frags_per_pass)):
         group = pending[g0:g0 + max(1, frags_per_pass)]
-        pid_by_path = {frag: _pid_of(frag) for frag in group}
 
         def add_pid(b: pa.Table) -> pa.Table:
-            # path -> pid via dictionary indices (few uniques per batch)
+            # path -> pid via dictionary indices (few uniques per batch).
+            # Derive the pid from the path column ITSELF (basename sans
+            # extension): Ray normalizes include_paths to resolved
+            # absolute paths, so a caller-supplied relative fragment
+            # path would never key a {caller_path: pid} map
             enc = b["path"].combine_chunks().dictionary_encode()
-            lut = [pid_by_path[p] for p in enc.dictionary.to_pylist()]
+            lut = [_pid_of(p) for p in enc.dictionary.to_pylist()]
             pids = pa.DictionaryArray.from_arrays(
                 enc.indices, pa.array(lut, pa.string())).cast(pa.string())
             return b.drop_columns(["path"]).append_column(
                 "_ckpt_pid", pids)
 
-        src = _rd.read_parquet(group, include_paths=True,
+        # absolutize before the distributed read: Ray WORKERS resolve
+        # relative paths against their own cwd (not the driver's) and
+        # the read retries forever on the resulting miss
+        src = _rd.read_parquet([os.path.abspath(f) for f in group],
+                               include_paths=True,
                                override_num_blocks=cpus * 4) \
             .map_batches(add_pid, batch_format="pyarrow")
         ds = build_routed(src, pattern_paths=pattern_paths,
@@ -158,9 +182,21 @@ def run_checkpointed(input_path: str, out_dir: str,
         ds.write_parquet(pass_tmp, partition_cols=["_ckpt_pid", "sink"],
                          concurrency=write_concurrency(),
                          **PARQUET_WRITE_OPTS)
+        # map written partition dirs back to pids through hive
+        # UNESCAPING: the partition writer percent-encodes special
+        # characters in values, so constructing the dir name from the
+        # raw pid could rename a just-created EMPTY dir while the real
+        # rows get deleted with pass_tmp — silent data loss
+        from urllib.parse import unquote
+        written = {}
+        if os.path.isdir(pass_tmp):
+            for d in os.listdir(pass_tmp):
+                if d.startswith("_ckpt_pid="):
+                    written[unquote(d.split("=", 1)[1])] = d
         for frag in group:
-            pid = pid_by_path[frag]
-            part_tmp = os.path.join(pass_tmp, f"_ckpt_pid={pid}")
+            pid = _pid_of(frag)
+            part_tmp = os.path.join(pass_tmp,
+                                    written.get(pid, f"_ckpt_pid={pid}"))
             part_final = os.path.join(out_dir, f"partition={pid}")
             os.makedirs(part_tmp, exist_ok=True)  # all-rows-dropped frag
             if os.path.exists(part_final):

@@ -127,3 +127,56 @@ def test_patterns_url_http_refused(monkeypatch):
     monkeypatch.setenv("PATTERNS_URL", "https://example.com/p.yml")
     with pytest.raises(RuntimeError, match="no network"):
         load_registry()
+
+
+def test_scan_all_patterns_affects_parse_batch(monkeypatch, tmp_path):
+    """SCAN_ALL_PATTERNS must disable the source gate in the PIPELINE
+    parse loop, not only in entries_for_source (review regression)."""
+    from logagent_js_ray.registry import PatternRegistry
+    from logagent_js_ray.stages.parse import parse_batch
+    yml = tmp_path / "p.yml"
+    yml.write_text(
+        "patterns:\n"
+        "  - source: only-this-source\n"
+        "    match:\n"
+        "      - type: gated\n"
+        "        regex: '^HIT (?P<val>\\d+)$'\n")
+    b = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0]),
+        "role": pa.array(["other-source"]),
+        "tool": pa.array(["none"]),
+        "ts": pa.array([0], pa.timestamp("us")),
+        "text": pa.array(["HIT 42"])})
+    gated = parse_batch(b, PatternRegistry([str(yml)]))
+    assert gated["_type"][0].as_py() != "gated"  # gate holds
+    monkeypatch.setenv("SCAN_ALL_PATTERNS", "1")
+    open_reg = PatternRegistry([str(yml)])
+    out = parse_batch(b, open_reg)
+    assert out["_type"][0].as_py() == "gated"  # gate bypassed
+
+
+def test_registry_version_env_sensitive(monkeypatch):
+    from logagent_js_ray.state.manifest import registry_version
+    base = registry_version()
+    monkeypatch.setenv("PATTERN_MATCHING_ENABLED", "false")
+    assert registry_version() != base
+    monkeypatch.delenv("PATTERN_MATCHING_ENABLED")
+    monkeypatch.setenv("DISABLE_DEFAULT_PATTERNS", "1")
+    assert registry_version() != base
+
+
+def test_config_geoip_validation_errors(tmp_path):
+    import yaml
+
+    from logagent_js_ray.config import load_config
+    cfgf = tmp_path / "bad.yml"
+    cfgf.write_text(yaml.safe_dump({
+        "input": {"parquet": {"path": "/x"}},
+        "outputFilter": [{"geoip": {"field": "ip"}}]}))
+    with pytest.raises(ValueError, match="geoip needs either"):
+        load_config(str(cfgf))
+    cfgf.write_text(yaml.safe_dump({
+        "input": {"parquet": {"path": "/x"}},
+        "outputFilter": [{"geoip": {"blocksCsv": "/b.csv"}}]}))
+    with pytest.raises(ValueError, match="locationsCsv"):
+        load_config(str(cfgf))

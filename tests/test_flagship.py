@@ -106,3 +106,16 @@ def test_run_flagship_writes_sinks(ray_session, sf_small, tool_catalog_path,
                 for f in glob.glob(str(tmp_path / "sinks" / "**" / "*.parquet"),
                                    recursive=True))
     assert total == len(oracle_result["events"])
+
+
+def test_enricher_duplicate_keys_last_wins(ray_session):
+    """A catalog with duplicate keys must enrich with the LAST row (the
+    historical dict-build semantics), not index_in's first match."""
+    import pyarrow as pa
+    from logagent_js_ray.stages.enrich import Enricher
+    lookup = pa.table({
+        "tool": pa.array(["bash", "bash", "sql"]),
+        "cost": pa.array(["stale", "fresh", "x"])})
+    e = Enricher(lookup, key="tool")
+    out = e(pa.table({"tool": pa.array(["bash", "sql", "nope"])}))
+    assert out["cost"].to_pylist() == ["fresh", "x", None]

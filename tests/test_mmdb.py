@@ -185,3 +185,30 @@ def test_mmdb_matches_csv_loader(tmp_path):
         assert list(csv_t[k]) == list(mm_t[k])
     assert np.allclose(csv_t["lat"].astype(float), mm_t["lat"])
     assert np.allclose(csv_t["lon"].astype(float), mm_t["lon"])
+
+
+def test_mmdb_v6_data_record_above_v4_subtree(tmp_path):
+    """A data record met DURING the ::/96 descent (e.g. at ::/1) covers
+    a prefix containing all of IPv4 — it must map to the full v4 range,
+    not be discarded (review regression)."""
+    from logagent_js_ray.sources.mmdb import METADATA_MARKER, \
+        load_maxmind_mmdb
+    rec = geo_record("US", "city-a", "NA", 1.0, 2.0)
+    node_count = 1
+    # single node: left = data pointer (node_count + 16 + 0), right=empty
+    left, right = node_count + 16 + 0, node_count
+    tree = left.to_bytes(3, "big") + right.to_bytes(3, "big")
+    meta = enc_map({
+        "binary_format_major_version": enc_uint(2, 5),
+        "binary_format_minor_version": enc_uint(0, 5),
+        "node_count": enc_uint(node_count),
+        "record_size": enc_uint(24, 5),
+        "ip_version": enc_uint(6, 5),
+        "database_type": enc_string("GeoLite2-City"),
+    })
+    path = tmp_path / "shallow.mmdb"
+    path.write_bytes(tree + b"\x00" * 16 + rec + METADATA_MARKER + meta)
+    t = load_maxmind_mmdb(str(path))
+    assert list(t["start"]) == [0]
+    assert list(t["end"]) == [(1 << 32) - 1]
+    assert list(t["country"]) == ["US"]

@@ -520,3 +520,13 @@ def test_ngram_jaccard_pairs_hashed_mode(ray_session):
               for r in ngram_jaccard_pairs(
                   ds, hashed_shingles=True, **kw).take_all()}
     assert exact == hashed and exact[(0, 3)] == 1_000_000
+
+
+def test_decode_image_empty_batch():
+    """Empty blocks (or a kind filter emptying a block) must not crash
+    DecodeImage (review regression: np.stack([]) raises)."""
+    import pyarrow as pa
+    from logagent_js_ray.ops.multimodal import MEDIA_SCHEMA, DecodeImage
+    empty = pa.table({f.name: pa.nulls(0, f.type) for f in MEDIA_SCHEMA})
+    out = DecodeImage()(empty)
+    assert out.num_rows == 0 and "features" in out.column_names

@@ -131,3 +131,30 @@ def test_coalesced_passes_match_single_fragment_passes(
                            tool_catalog=tool_catalog_path)
     assert res["skipped"] == 1 and res["ran"] == len(frags) - 1
     assert sorted_rows(c_dir).equals(sorted_rows(a_dir))
+
+
+def test_checkpointed_relative_path_and_escaped_fragment(
+        ray_session, sf_small, tool_catalog_path, tmp_path, monkeypatch):
+    """Two review regressions: (a) a RELATIVE input path must work even
+    though Ray include_paths resolves to absolute paths; (b) a fragment
+    whose basename needs hive escaping (space) must keep its rows — the
+    old rename-by-constructed-name would silently ship an empty dir."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from logagent_js_ray.sources.transcripts import list_fragments
+    from logagent_js_ray.state.manifest import run_checkpointed
+
+    frags = list_fragments(sf_small)
+    src_dir = tmp_path / "in dir"
+    src_dir.mkdir()
+    shutil.copy(frags[0], src_dir / "part with space.parquet")
+    out = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    res = run_checkpointed(os.path.join("in dir"), str(out),
+                           tool_catalog=tool_catalog_path)
+    want = pq.read_metadata(frags[0]).num_rows
+    assert res["ran"] == 1
+    assert res["rows_in"] == res["rows_out"] == want
+    assert sorted_rows(str(out)).shape[0] == want
