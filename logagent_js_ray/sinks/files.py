@@ -70,19 +70,88 @@ def write_template_sink(ds: "ray.data.Dataset", out_dir: str,
                      **PARQUET_WRITE_OPTS)
 
 
+def render_row(row: dict, fmt: str = "ldjson") -> str:
+    """One event -> its stdout rendering (stdout.js:9-20): ``ldjson``
+    (one compact sorted-key JSON object), ``pretty`` (indent=2), or
+    ``yaml`` (flat ``key: value`` lines). The per-row unit matches the
+    plugin's one-``eventHandler``-call-per-event contract, so the same
+    function serves both the driver-side ``show`` head and a vectorized
+    whole-dataset render column (``render_lines``)."""
+    if fmt == "ldjson":
+        return json.dumps(row, sort_keys=True, default=str)
+    if fmt == "pretty":
+        return json.dumps(row, sort_keys=True, indent=2, default=str)
+    if fmt == "yaml":
+        import yaml
+        return yaml.safe_dump({k: (str(v) if not isinstance(
+            v, (int, float, str, bool, type(None))) else v)
+            for k, v in row.items()}, sort_keys=True)
+    raise ValueError(fmt)
+
+
+def render_lines(batch: pa.Table, fmt: str = "ldjson",
+                 out_col: str = "line") -> pa.Table:
+    """Whole-batch stdout rendering as a string column — the
+    map_batches form of the stdout plugin for pipelines that ship the
+    rendered line itself (ldjson files, syslog forwarders)."""
+    lines = [render_row(r, fmt) for r in batch.to_pylist()]
+    return batch.append_column(out_col, pa.array(lines, pa.string()))
+
+
 def show(ds: "ray.data.Dataset", n: int = 10, fmt: str = "ldjson") -> str:
     """stdout plugin: ldjson (default) / pretty / yaml rendering of the
     first ``n`` rows; returns the rendered string."""
     rows = ds.take(n)
-    if fmt == "ldjson":
-        return "\n".join(json.dumps(r, sort_keys=True, default=str)
-                         for r in rows)
-    if fmt == "pretty":
-        return "\n".join(json.dumps(r, sort_keys=True, indent=2,
-                                    default=str) for r in rows)
     if fmt == "yaml":
         import yaml
         return yaml.safe_dump([{k: (str(v) if not isinstance(
             v, (int, float, str, bool, type(None))) else v)
             for k, v in r.items()} for r in rows], sort_keys=True)
-    raise ValueError(fmt)
+    return "\n".join(render_row(r, fmt) for r in rows)
+
+
+def clickhouse_record(batch: pa.Table, fields: dict[str, str],
+                      table: str | None = None) -> pa.Table:
+    """ClickHouse output record shaping
+    (/root/reference/lib/plugins/output/clickhouse.js:43-59): the
+    ``fields`` config maps destination column -> source field, columns
+    emitted in declared order (the reference builds a positional INSERT
+    row from ``Object.keys(this.fields)``); a source field of
+    ``@timestamp`` becomes epoch MILLISECONDS (``getTime()``, js:47-48),
+    every other value goes through JS's ``data[field] || null`` — i.e.
+    falsy values (0, '', false, null, undefined) insert as NULL
+    (js:50). ``table`` adds the INSERT target as a constant column so a
+    multi-table config can partition the write."""
+    n = batch.num_rows
+    cols: dict[str, pa.Array] = {}
+    for dest, src in fields.items():
+        if src == "@timestamp":
+            ts = batch[src] if src in batch.column_names else \
+                pa.nulls(n, pa.timestamp("us"))
+            cols[dest] = pc.cast(
+                pc.floor(pc.divide(pc.cast(ts, pa.int64()), 1000)),
+                pa.int64())
+            continue
+        if src not in batch.column_names:
+            cols[dest] = pa.nulls(n, pa.string())
+            continue
+        col = batch[src]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # JS `|| null`: 0 / "" / false -> null
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            falsy = pc.equal(col, "")
+        elif pa.types.is_boolean(t):
+            falsy = pc.equal(col, False)
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            falsy = pc.equal(col, 0)
+        else:
+            falsy = pa.array([False] * n, pa.bool_())
+        cols[dest] = pc.if_else(pc.fill_null(falsy, False),
+                                pa.nulls(n, t), col)
+    out = pa.table(cols)
+    if table is not None:
+        out = out.append_column("_ch_table",
+                                pa.array([table] * n, pa.string()))
+    return out

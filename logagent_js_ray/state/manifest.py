@@ -84,17 +84,21 @@ class Manifest:
             os.fsync(f.fileno())
 
 
-def _partition_metrics(part_dir: str) -> dict:
+def _partition_metrics(part_dir: str, sink_col: str = "sink",
+                       type_col: str = "_type") -> dict:
     """Per-sink routed-row and parse-type counts read back from the
-    partition's own output (column-pruned)."""
+    partition's own output (column-pruned) — the rebuild of logagent's
+    interval stats counters (events received / shipped per sink and
+    parse type); column names are configurable so non-flagship sinks
+    (e.g. the output-files {field} fan-out) count on their own keys."""
     ds = pads.dataset(part_dir, partitioning="hive")
     if not ds.files:  # fragment whose rows were all filtered/dropped
         return {"rows_out": 0, "sinks": {}, "types": {}}
-    tbl = ds.to_table(columns=["sink", "_type"])
+    tbl = ds.to_table(columns=[sink_col, type_col])
     import collections
-    sinks = collections.Counter(tbl["sink"].to_pylist())
+    sinks = collections.Counter(str(s) for s in tbl[sink_col].to_pylist())
     types = collections.Counter(t if t is not None else "_fallback"
-                                for t in tbl["_type"].to_pylist())
+                                for t in tbl[type_col].to_pylist())
     return {"rows_out": tbl.num_rows, "sinks": dict(sinks),
             "types": dict(types)}
 

@@ -41,3 +41,37 @@ def test_show_formats(ray_session):
     assert json.loads(ld) == {"a": 1, "b": "x"}
     assert '"a": 1' in show(ds, fmt="pretty")
     assert "a: 1" in show(ds, fmt="yaml")
+
+
+def test_render_lines_column():
+    from logagent_js_ray.sinks.files import render_lines
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    out = render_lines(t, "ldjson")
+    assert out["line"].to_pylist() == ['{"a": 1, "b": "x"}',
+                                       '{"a": 2, "b": "y"}']
+    ym = render_lines(t, "yaml")["line"].to_pylist()
+    assert ym[0] == "a: 1\nb: x\n"
+
+
+def test_clickhouse_record_mapping():
+    """clickhouse.js:43-59 — positional column order, @timestamp ->
+    epoch ms (getTime()), JS `|| null` falsy coercion."""
+    from logagent_js_ray.sinks.files import clickhouse_record
+    t = pa.table({
+        "@timestamp": pa.array([1_700_000_000_123_456, None],
+                               pa.timestamp("us")),
+        "status": pa.array([0, 404], pa.int64()),
+        "msg": pa.array(["", "boom"], pa.string()),
+        "flag": pa.array([False, True], pa.bool_()),
+    })
+    out = clickhouse_record(t, fields={
+        "t": "@timestamp", "code": "status", "m": "msg",
+        "f": "flag", "missing": "nope"}, table="logs")
+    assert out.column_names == ["t", "code", "m", "f", "missing",
+                                "_ch_table"]
+    assert out["t"].to_pylist() == [1_700_000_000_123, None]
+    assert out["code"].to_pylist() == [None, 404]  # 0 -> null (JS falsy)
+    assert out["m"].to_pylist() == [None, "boom"]  # '' -> null
+    assert out["f"].to_pylist() == [None, True]    # false -> null
+    assert out["missing"].to_pylist() == [None, None]
+    assert out["_ch_table"].to_pylist() == ["logs", "logs"]
