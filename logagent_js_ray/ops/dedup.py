@@ -655,3 +655,189 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
     # a pair can collide in several tables: dedup via tree merge
     return tree_merge(pairs, ["id_a", "id_b"], {"cosine": "min"},
                       partition_by_key=64)
+
+
+# ------------------------------------------- components / canonical keep
+
+
+def _cc_canonical(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Undirected edge list -> canonical (hi, lo) rows, self-loops
+    dropped."""
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
+    keep = hi != lo
+    return pd.DataFrame({"hi": hi[keep], "lo": lo[keep]})
+
+
+def connected_components(pairs: "ray.data.Dataset",
+                         a_col: str = "id_a", b_col: str = "id_b",
+                         num_buckets: int = 64,
+                         max_iters: int = 50) -> "ray.data.Dataset":
+    """Distributed connected components over a near-dup PAIR stream —
+    the step that turns pairwise near-dup evidence into dedup clusters
+    (every dedup family above emits pairs; keeping one doc per CLUSTER
+    needs the transitive closure).
+
+    Alternating-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14): repeat large-star (every node
+    hooks its larger neighbors to its minimum) and small-star (every
+    node hooks its smaller neighbors and itself to its minimum) until
+    the canonical edge set is a fixed point — a star forest whose
+    centers are component minima. Both steps are a single coarse-bucket
+    ``groupby(hash(center) % num_buckets)`` + vectorized pandas pass,
+    so no task ever holds more than one bucket of centers; convergence
+    is O(log²) iterations (2-4 in practice for the tiny clusters
+    near-dup pairs form). Each iteration materializes the (small)
+    deduped edge set — pairs are a fraction of the corpus by
+    construction, so this fits the object store even when the corpus
+    itself would not.
+
+    Returns a Dataset (node, component) with component = the minimum
+    node id reachable from ``node``; every node that appears in any
+    input pair gets a row (roots map to themselves)."""
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = _cc_canonical(a, c)
+        return pa.table({"hi": pa.array(df["hi"].to_numpy()),
+                         "lo": pa.array(df["lo"].to_numpy())})
+
+    def add_bucket(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            u = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+                % num_buckets
+            return b.append_column("_cb", pa.array(h.astype(np.int32)))
+        return fn
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        # centers = every endpoint; both directions are present
+        g = g.drop_duplicates(["u", "v"])
+        m = np.minimum(g.groupby("u")["v"].transform("min").to_numpy(),
+                       g["u"].to_numpy())
+        keep = g["v"].to_numpy() > g["u"].to_numpy()
+        return _cc_canonical(g["v"].to_numpy()[keep], m[keep])
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        # centers = hi endpoints; neighbors all < center
+        g = g.drop_duplicates(["u", "v"])
+        m = g.groupby("u")["v"].transform("min").to_numpy()
+        v = g["v"].to_numpy()
+        u = g["u"].to_numpy()
+        keep = v != m  # (m, m) self-edges dropped
+        a = np.concatenate([v[keep], u])
+        b = np.concatenate([m[keep], m])
+        return _cc_canonical(a, b)
+
+    def dedup(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+        withn = edges.map_batches(
+            lambda b: b.append_column(
+                "n", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+        return tree_merge(withn, ["hi", "lo"], {"n": "sum"},
+                          partition_by_key=num_buckets) \
+            .map_batches(lambda b: b.drop_columns(["n"]),
+                         batch_format="pyarrow")
+
+    def checksum(edges: "ray.data.Dataset") -> tuple[int, int]:
+        def part(b: pa.Table) -> pa.Table:
+            hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mix = (hi * np.uint64(0x9E3779B97F4A7C15)) \
+                ^ (lo * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "x": pa.array([int(np.bitwise_xor.reduce(mix))
+                               if b.num_rows else 0], pa.uint64()),
+                "s": pa.array([int(mix.sum(dtype=np.uint64))],
+                              pa.uint64())})
+        p = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+        x = 0
+        for v in p["x"]:
+            x ^= int(v)
+        return (int(p["n"].sum()),
+                (x << 64) | (int(p["s"].sum()) & ((1 << 64) - 1)))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"u": b["hi"], "v": b["lo"]}),
+            pa.table({"u": b["lo"], "v": b["hi"]})]).combine_chunks()
+
+    def star_rows(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": b["hi"], "component": b["lo"]}),
+            pa.table({"node": b["lo"], "component": b["lo"]})]) \
+            .combine_chunks()
+
+    edges = dedup(pairs.map_batches(to_edges,
+                                    batch_format="pyarrow")).materialize()
+    prev = checksum(edges)
+    for _ in range(max_iters):
+        # large-star over both edge directions
+        both = edges.map_batches(both_dirs, batch_format="pyarrow")
+        ls = both.map_batches(add_bucket("u"), batch_format="pyarrow") \
+            .groupby("_cb") \
+            .map_groups(lambda g: large_star(g.drop(columns=["_cb"])),
+                        batch_format="pandas")
+        # small-star over canonical (hi -> lo) directed edges
+        ss = ls.map_batches(
+            lambda b: pa.table({"u": b["hi"], "v": b["lo"]}),
+            batch_format="pyarrow")
+        ss = ss.map_batches(add_bucket("u"), batch_format="pyarrow") \
+            .groupby("_cb") \
+            .map_groups(lambda g: small_star(g.drop(columns=["_cb"])),
+                        batch_format="pandas")
+        edges = dedup(ss).materialize()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations")
+    # fixed point is a star forest: every non-root appears once as hi;
+    # roots appear only as lo -> add (lo, lo) self rows, min-merge
+    comp = edges.map_batches(star_rows, batch_format="pyarrow")
+    return tree_merge(comp, ["node"], {"component": "min"},
+                      partition_by_key=num_buckets)
+
+
+def keep_canonical(docs: "ray.data.Dataset",
+                   components: "ray.data.Dataset | pa.Table",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Cluster-level dedup decision: keep a doc iff it is not in any
+    near-dup cluster, or it is its cluster's canonical (minimum-id)
+    member. ``components`` is the (node, component) output of
+    :func:`connected_components` — small by construction (only paired
+    nodes), so it broadcasts once via ``ray.put`` and every batch
+    filters with one ``pc.index_in`` kernel (no shuffle of the
+    corpus)."""
+    import pyarrow.compute as pc
+    if hasattr(components, "to_arrow_refs"):  # Dataset -> driver table
+        comp_tbl = pa.Table.from_pandas(components.to_pandas())
+    else:
+        comp_tbl = components
+    ref = ray.put(comp_tbl)
+
+    class Keeper:
+        def __init__(self, lookup_ref):
+            t = ray.get(lookup_ref)
+            pa.set_cpu_count(1)
+            self.nodes = t["node"].combine_chunks()
+            self.comp = t["component"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pos = pc.fill_null(pc.index_in(b[id_col],
+                                           value_set=self.nodes), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            keep = np.ones(b.num_rows, dtype=bool)
+            hit = pos != -1
+            keep[hit] = self.comp[pos[hit]] == ids[hit]
+            return b.filter(pa.array(keep))
+
+    return docs.map_batches(Keeper, fn_constructor_kwargs={
+        "lookup_ref": ref}, batch_format="pyarrow", concurrency=(1, 8))
