@@ -109,3 +109,79 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
         winnows[i] = min(hs)
     out = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
     return out.append_column("fp_winnow", pa.array(winnows))
+
+
+# --- benchmark decontamination -----------------------------------------
+
+
+def _word_kgrams(text: str, k: int) -> set:
+    toks = (text or "").split()
+    return {" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)}
+
+
+def collect_benchmark_ngrams(bench: "ray.data.Dataset",
+                             text_col: str = "text", k: int = 5,
+                             hashed: bool = False):
+    """Distinct word-``k``-grams of a BENCHMARK/eval set, collected to
+    the driver for broadcast. Per-block distinct runs in map_batches and
+    a hash-partitioned tree merge dedups across blocks, so the driver
+    only ever receives the final distinct set — benchmark suites are
+    small by definition (10^4-10^6 grams), which is what makes the
+    broadcast-filter shape of :func:`decontaminate` right at corpus
+    scale. ``hashed=True`` returns sorted uint64 polynomial hashes
+    (8 bytes/gram instead of strings) for big benchmark sets; the
+    string mode is byte-exact against a SQL oracle."""
+    import ray
+    from ..stages.aggregate import tree_merge
+
+    def block_grams(b: pa.Table) -> pa.Table:
+        grams: set = set()
+        for t in b[text_col].to_pylist():
+            grams |= _word_kgrams(t, k)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string()),
+                         "n": pa.array([1] * len(grams), pa.int64())})
+
+    distinct = tree_merge(bench.map_batches(block_grams,
+                                            batch_format="pyarrow"),
+                          ["gram"], {"n": "sum"}, partition_by_key=16)
+    grams = distinct.to_pandas()["gram"].tolist()
+    if hashed:
+        hs = np.sort(np.array(
+            [zlib.crc32(g.encode()) | (len(g) << 32) for g in grams],
+            np.uint64))
+        return ray.put(hs)
+    return ray.put(frozenset(grams))
+
+
+class Decontaminator:
+    """Actor-pool stage: flags training docs that share any word-k-gram
+    with a broadcast benchmark set — the standard train/test
+    decontamination step of LLM corpus pipelines. Adds
+    ``contam_ngrams`` (count of DISTINCT shared k-grams) and
+    ``contaminated`` (bool). The benchmark set loads once per actor
+    from the object store (``collect_benchmark_ngrams`` ref)."""
+
+    def __init__(self, bench_ref, text_col: str = "text", k: int = 5):
+        import ray
+        pa.set_cpu_count(1)
+        self.bench = ray.get(bench_ref)
+        self.hashed = isinstance(self.bench, np.ndarray)
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        counts = np.zeros(b.num_rows, np.int64)
+        for i, t in enumerate(b[self.text_col].to_pylist()):
+            grams = _word_kgrams(t, self.k)
+            if not grams:
+                continue
+            if self.hashed:
+                hs = np.array([zlib.crc32(g.encode()) | (len(g) << 32)
+                               for g in grams], np.uint64)
+                counts[i] = int(np.isin(
+                    hs, self.bench, assume_unique=True).sum())
+            else:
+                counts[i] = sum(1 for g in grams if g in self.bench)
+        out = b.append_column("contam_ngrams", pa.array(counts))
+        return out.append_column("contaminated",
+                                 pa.array(counts > 0))

@@ -1,0 +1,23 @@
+
+
+def test_decontaminate_string_and_hashed_modes(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from logagent_js_ray.ops.text_analysis import (Decontaminator,
+                                                   collect_benchmark_ngrams)
+    bench = ray.data.from_arrow(pa.table({
+        "text": ["the quick brown fox jumps over the lazy dog"]}))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "prefix the quick brown fox jumps away",  # 1 shared 5-gram
+            "quick brown fox jumps over the lazy",    # several shared
+            "completely unrelated words here now ok", # none
+        ]}))
+    for hashed in (False, True):
+        ref = collect_benchmark_ngrams(bench, k=5, hashed=hashed)
+        out = docs.map_batches(Decontaminator, fn_constructor_kwargs={
+            "bench_ref": ref, "k": 5}, batch_format="pyarrow",
+            concurrency=(1, 2)).to_pandas().sort_values("doc_id")
+        assert out["contam_ngrams"].tolist() == [1, 3, 0], hashed
+        assert out["contaminated"].tolist() == [True, True, False]
