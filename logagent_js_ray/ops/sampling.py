@@ -1,0 +1,86 @@
+"""Deterministic hash-based sampling over the ``documents`` table —
+the reproducible-subsampling step of a training-data pipeline.
+
+``ray.data.Dataset.random_sample`` draws per-task RNG samples: reruns,
+retries, and different cluster sizes all produce DIFFERENT subsets,
+which breaks resumable corpus builds and ablation comparisons. Hash
+sampling keys the keep decision on the ROW itself — keep iff
+``md5(f"{id}:{seed}") < fraction`` of the 128-bit space — so the subset
+is a pure function of (id, seed, fraction): stable across reruns,
+cluster sizes, partitionings, and engines (byte-identical to a SQL
+``md5(...) < hex_threshold`` predicate, which is what the oracle
+checks). Embarrassingly parallel: a per-batch filter, no shuffle, no
+driver state. Growing the fraction is MONOTONE (a 10% sample is a
+subset of the 20% sample at the same seed) — the property ablation
+ladders need.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def fraction_threshold(fraction: float) -> str:
+    """32-hex-digit threshold such that md5hex < threshold keeps
+    ~``fraction`` of uniformly-hashed rows (exact to 1/2^128).
+    fraction=1.0 returns 'g', which sorts after every hex digest in
+    both Python and SQL string collation (a 33-digit '1000…0' would
+    sort BEFORE most digests and silently keep ~6%)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    if fraction >= 1.0:
+        return "g"
+    return f"{int(fraction * (1 << 128)):032x}"
+
+
+def _keep_mask(ids, seed: int, thresholds: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(ids), dtype=bool)
+    for i, v in enumerate(ids):
+        if v is None:
+            continue  # null id: never sampled (SQL NULL comparison)
+        h = hashlib.md5(f"{v}:{seed}".encode()).hexdigest()
+        out[i] = h < thresholds[i]
+    return out
+
+
+def make_hash_sample_fn(id_col: str, fraction: float | None = None,
+                        seed: int = 42, strata_col: str | None = None,
+                        strata_fractions: dict | None = None,
+                        default_fraction: float = 0.0):
+    """``map_batches`` filter for deterministic (optionally STRATIFIED)
+    sampling: uniform ``fraction`` everywhere, or a per-stratum
+    fraction map over ``strata_col`` (unlisted strata fall back to
+    ``default_fraction``) — e.g. keep 50% of high-quality sources and
+    5% of crawl data, reproducibly."""
+    if (fraction is None) == (strata_fractions is None):
+        raise ValueError("exactly one of fraction / strata_fractions")
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        if fraction is not None:
+            th = np.full(len(ids), fraction_threshold(fraction),
+                         dtype=object)
+        else:
+            tmap = {k: fraction_threshold(v)
+                    for k, v in strata_fractions.items()}
+            dflt = fraction_threshold(default_fraction)
+            th = np.array([tmap.get(s, dflt)
+                           for s in b[strata_col].to_pylist()],
+                          dtype=object)
+        return b.filter(pa.array(_keep_mask(ids, seed, th)))
+
+    return fn
+
+
+def hash_sample(ds: "ray.data.Dataset", id_col: str,
+                fraction: float | None = None, seed: int = 42,
+                strata_col: str | None = None,
+                strata_fractions: dict | None = None,
+                default_fraction: float = 0.0) -> "ray.data.Dataset":
+    return ds.map_batches(
+        make_hash_sample_fn(id_col, fraction, seed, strata_col,
+                            strata_fractions, default_fraction),
+        batch_format="pyarrow")
