@@ -111,6 +111,53 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return out.append_column("fp_winnow", pa.array(winnows))
 
 
+# --- Gopher-style quality rules -----------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
+                       min_words: int = 10, max_words: int = 100_000,
+                       min_mean_word_len: float = 3.0,
+                       max_mean_word_len: float = 10.0,
+                       min_stop_hits: int = 2,
+                       max_dup_word_frac: float = 0.5) -> pa.Table:
+    """Gopher-style repetition/quality gate (Rae et al. 2021, table A1
+    family): word-count bounds, mean-word-length bounds, a minimum
+    number of common-stopword hits, and a duplicate-word-fraction cap.
+    Adds ``dup_word_frac_e6`` (1 - distinct/total words, micro-scaled
+    int for SQL-exact compare), ``stop_hits``, ``mean_word_len`` and
+    the combined ``gopher_ok`` flag. Vectorized per batch (one split
+    per doc — same cost class as the shingle stages); defaults are
+    scaled to the synthetic fixture lengths, real corpora pass the
+    paper's (50, 100k, 3, 10, 2, ...) values."""
+    from . import e6_round_half_away
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    n_words = np.zeros(n, np.int64)
+    dup_frac = np.zeros(n, np.float64)
+    stop_hits = np.zeros(n, np.int64)
+    mean_len = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        n_words[i] = len(toks)
+        dup_frac[i] = 1.0 - len(set(toks)) / len(toks)
+        stop_hits[i] = sum(1 for w in toks if w in _GOPHER_STOPS)
+        mean_len[i] = sum(len(w) for w in toks) / len(toks)
+    ok = ((n_words >= min_words) & (n_words <= max_words)
+          & (mean_len >= min_mean_word_len)
+          & (mean_len <= max_mean_word_len)
+          & (stop_hits >= min_stop_hits)
+          & (dup_frac <= max_dup_word_frac))
+    out = batch.append_column("dup_word_frac_e6",
+                              pa.array(e6_round_half_away(dup_frac)))
+    out = out.append_column("stop_hits", pa.array(stop_hits))
+    out = out.append_column("mean_word_len", pa.array(mean_len))
+    return out.append_column("gopher_ok", pa.array(ok))
+
+
 # --- benchmark decontamination -----------------------------------------
 
 

@@ -21,3 +21,20 @@ def test_decontaminate_string_and_hashed_modes(ray_session):
             concurrency=(1, 2)).to_pandas().sort_values("doc_id")
         assert out["contam_ngrams"].tolist() == [1, 3, 0], hashed
         assert out["contaminated"].tolist() == [True, True, False]
+
+
+def test_gopher_rules_batch():
+    import pyarrow as pa
+    from logagent_js_ray.ops.text_analysis import gopher_rules_batch
+    t = pa.table({"text": [
+        "the cat sat on the mat and that dog ran off today ok",  # passes
+        "aa bb",                                       # too short
+        "the the the the the the the the the the the", # dup fraction 10/11
+        "",                                            # empty
+    ]})
+    out = gopher_rules_batch(t, min_words=5, min_stop_hits=2,
+                             max_dup_word_frac=0.5)
+    assert out["gopher_ok"].to_pylist() == [True, False, False, False]
+    assert out["stop_hits"].to_pylist()[0] >= 3  # the x2, and, that
+    assert out["dup_word_frac_e6"].to_pylist()[2] == 909091  # 10/11
+    assert out["dup_word_frac_e6"].to_pylist()[3] == 0
