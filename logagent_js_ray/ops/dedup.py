@@ -704,11 +704,11 @@ def connected_components(pairs: "ray.data.Dataset",
                          "lo": pa.array(df["lo"].to_numpy())})
 
     def add_bucket(col: str):
+        from ..stages.aggregate import coarse_bucket_array
+
         def fn(b: pa.Table) -> pa.Table:
-            u = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
-                % num_buckets
-            return b.append_column("_cb", pa.array(h.astype(np.int32)))
+            return b.append_column(
+                "_cb", pa.array(coarse_bucket_array(b[col], num_buckets)))
         return fn
 
     def large_star(g: pd.DataFrame) -> pd.DataFrame:
@@ -816,7 +816,13 @@ def keep_canonical(docs: "ray.data.Dataset",
     corpus)."""
     import pyarrow.compute as pc
     if hasattr(components, "to_arrow_refs"):  # Dataset -> driver table
-        comp_tbl = pa.Table.from_pandas(components.to_pandas())
+        # drop empty blocks first: partitioned map_groups emits
+        # schema-less empties that poison concat_tables
+        tbls = [t for t in ray.get(components.to_arrow_refs())
+                if t.num_rows]
+        comp_tbl = (pa.concat_tables(tbls).combine_chunks() if tbls
+                    else pa.table({"node": pa.array([], pa.int64()),
+                                   "component": pa.array([], pa.int64())}))
     else:
         comp_tbl = components
     ref = ray.put(comp_tbl)

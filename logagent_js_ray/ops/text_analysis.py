@@ -130,7 +130,13 @@ def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
     the combined ``gopher_ok`` flag. Vectorized per batch (one split
     per doc — same cost class as the shingle stages); defaults are
     scaled to the synthetic fixture lengths, real corpora pass the
-    paper's (50, 100k, 3, 10, 2, ...) values."""
+    paper's (50, 100k, 3, 10, 2, ...) values.
+
+    Tokenizer is SINGLE-SPACE split — the same SQL-exact
+    ``string_split(text, ' ')`` convention ``analyze_batch`` commits
+    to above (a bare ``.split()`` collapses whitespace runs and would
+    silently diverge from the d_quality oracle on any double-spaced
+    text)."""
     from . import e6_round_half_away
     texts = batch[text_col].to_numpy(zero_copy_only=False)
     n = len(texts)
@@ -139,7 +145,7 @@ def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
     stop_hits = np.zeros(n, np.int64)
     mean_len = np.zeros(n, np.float64)
     for i, t in enumerate(texts):
-        toks = (t or "").split()
+        toks = (t or "").split(" ")
         if not toks:
             continue
         n_words[i] = len(toks)
@@ -162,7 +168,9 @@ def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
 
 
 def _word_kgrams(text: str, k: int) -> set:
-    toks = (text or "").split()
+    # single-space split: the SQL-exact string_split convention (see
+    # gopher_rules_batch docstring)
+    toks = (text or "").split(" ")
     return {" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)}
 
 
@@ -175,9 +183,10 @@ def collect_benchmark_ngrams(bench: "ray.data.Dataset",
     only ever receives the final distinct set — benchmark suites are
     small by definition (10^4-10^6 grams), which is what makes the
     broadcast-filter shape of :func:`decontaminate` right at corpus
-    scale. ``hashed=True`` returns sorted uint64 polynomial hashes
-    (8 bytes/gram instead of strings) for big benchmark sets; the
-    string mode is byte-exact against a SQL oracle."""
+    scale. ``hashed=True`` returns sorted distinct uint64 md5-prefix
+    hashes (8 bytes/gram instead of strings, 2^-64 per-pair collision)
+    for big benchmark sets; the string mode is byte-exact against a
+    SQL oracle."""
     import ray
     from ..stages.aggregate import tree_merge
 
@@ -193,11 +202,18 @@ def collect_benchmark_ngrams(bench: "ray.data.Dataset",
                           ["gram"], {"n": "sum"}, partition_by_key=16)
     grams = distinct.to_pandas()["gram"].tolist()
     if hashed:
-        hs = np.sort(np.array(
-            [zlib.crc32(g.encode()) | (len(g) << 32) for g in grams],
-            np.uint64))
-        return ray.put(hs)
+        # np.unique, not just sort: distinct grams CAN collide, and a
+        # duplicate value in either isin() operand breaks membership
+        # counting (and full-width md5 prefixes beat crc32's 2^-32
+        # per-pair odds at the advertised 10^4-10^6-gram sizes)
+        return ray.put(np.unique(_gram_hashes(grams)))
     return ray.put(frozenset(grams))
+
+
+def _gram_hashes(grams) -> np.ndarray:
+    """uint64 md5-prefix hash per gram (shared by collect + filter)."""
+    return np.array([int.from_bytes(hashlib.md5(g.encode()).digest()[:8],
+                                    "big") for g in grams], np.uint64)
 
 
 class Decontaminator:
@@ -223,10 +239,11 @@ class Decontaminator:
             if not grams:
                 continue
             if self.hashed:
-                hs = np.array([zlib.crc32(g.encode()) | (len(g) << 32)
-                               for g in grams], np.uint64)
-                counts[i] = int(np.isin(
-                    hs, self.bench, assume_unique=True).sum())
+                # grams is a set but its HASHES may still collide:
+                # no assume_unique (a duplicated value makes numpy's
+                # sort-path isin flag false matches)
+                counts[i] = int(np.isin(_gram_hashes(grams),
+                                        self.bench).sum())
             else:
                 counts[i] = sum(1 for g in grams if g in self.bench)
         out = b.append_column("contam_ngrams", pa.array(counts))

@@ -96,7 +96,12 @@ def _partition_metrics(part_dir: str, sink_col: str = "sink",
         return {"rows_out": 0, "sinks": {}, "types": {}}
     tbl = ds.to_table(columns=[sink_col, type_col])
     import collections
-    sinks = collections.Counter(str(s) for s in tbl[sink_col].to_pylist())
+    # None stays None (json.dumps renders it "null" — the key format
+    # existing manifests already carry for unrouted rows); str() only
+    # normalizes non-string partition values from hive read-back
+    sinks = collections.Counter(
+        s if s is None or isinstance(s, str) else str(s)
+        for s in tbl[sink_col].to_pylist())
     types = collections.Counter(t if t is not None else "_fallback"
                                 for t in tbl[type_col].to_pylist())
     return {"rows_out": tbl.num_rows, "sinks": dict(sinks),
