@@ -672,11 +672,21 @@ def _cc_canonical(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
 def connected_components(pairs: "ray.data.Dataset",
                          a_col: str = "id_a", b_col: str = "id_b",
                          num_buckets: int = 64,
-                         max_iters: int = 50) -> "ray.data.Dataset":
+                         max_iters: int = 50,
+                         driver_threshold: int | None = 1_000_000
+                         ) -> "ray.data.Dataset":
     """Distributed connected components over a near-dup PAIR stream —
     the step that turns pairwise near-dup evidence into dedup clusters
     (every dedup family above emits pairs; keeping one doc per CLUSTER
     needs the transitive closure).
+
+    Edge sets at or below ``driver_threshold`` (16 bytes/edge — the
+    default 1M edges is ~16 MB) take a driver union-find fast path:
+    each alternating-star round costs ~5 fixed-overhead Ray passes, so
+    for the common case (near-dup pairs are a fraction of the corpus)
+    one small collect beats 3-4 distributed rounds by an order of
+    magnitude. Output is identical (asserted in tests); pass ``None``
+    or 0 to force the distributed path.
 
     Alternating-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14): repeat large-star (every node
@@ -772,6 +782,25 @@ def connected_components(pairs: "ray.data.Dataset",
 
     edges = dedup(pairs.map_batches(to_edges,
                                     batch_format="pyarrow")).materialize()
+    if driver_threshold and edges.count() <= driver_threshold:
+        df = edges.to_pandas()
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for hi_v, lo_v in zip(df["hi"].to_numpy(), df["lo"].to_numpy()):
+            ra, rb = find(int(hi_v)), find(int(lo_v))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(n) for n in nodes], pa.int64()),
+        }))
     prev = checksum(edges)
     for _ in range(max_iters):
         # large-star over both edge directions

@@ -30,6 +30,8 @@ def _pairs_ds(pairs):
 
 
 def test_connected_components_vs_union_find(ray_session):
+    """Both the distributed alternating-star path (driver_threshold=0)
+    and the driver union-find fast path must match the reference."""
     from logagent_js_ray.ops.dedup import connected_components
     rng = np.random.default_rng(7)
     a = rng.integers(0, 300, 260)
@@ -39,17 +41,21 @@ def test_connected_components_vs_union_find(ray_session):
     pairs += [(1000 + i, 1001 + i) for i in range(20)]
     pairs += [(2000, 2001), (2001, 2002), (2002, 2000)]
     ref = _uf(pairs)
-    comp = connected_components(_pairs_ds(pairs)).to_pandas()
-    got = dict(zip(comp["node"], comp["component"]))
-    assert got == ref
+    for thr in (0, 1_000_000):
+        comp = connected_components(_pairs_ds(pairs),
+                                    driver_threshold=thr).to_pandas()
+        got = dict(zip(comp["node"], comp["component"]))
+        assert got == ref, f"driver_threshold={thr}"
 
 
 def test_connected_components_duplicate_and_reversed_edges(ray_session):
     from logagent_js_ray.ops.dedup import connected_components
     pairs = [(5, 3), (3, 5), (5, 3), (7, 9)]
-    comp = connected_components(_pairs_ds(pairs)).to_pandas()
-    got = dict(zip(comp["node"], comp["component"]))
-    assert got == {3: 3, 5: 3, 7: 7, 9: 7}
+    for thr in (0, 1_000_000):
+        comp = connected_components(_pairs_ds(pairs),
+                                    driver_threshold=thr).to_pandas()
+        got = dict(zip(comp["node"], comp["component"]))
+        assert got == {3: 3, 5: 3, 7: 7, 9: 7}, f"driver_threshold={thr}"
 
 
 def test_keep_canonical(ray_session):
