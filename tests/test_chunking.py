@@ -1,0 +1,49 @@
+"""Overlapping text chunking (ops/chunking)."""
+
+import pyarrow as pa
+
+import ray.data
+
+
+def _ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_chunk_text_layout(ray_session):
+    from logagent_js_ray.ops.chunking import chunk_text
+    t = "abcdefghij" * 3  # 30 chars
+    out = chunk_text(_ds([t]), window=10, overlap=4).to_pandas() \
+        .sort_values("chunk_idx")
+    # stride 6: starts 0,6,12,18,24
+    assert out["char_start"].tolist() == [0, 6, 12, 18, 24]
+    assert out["chunk"].tolist()[0] == t[0:10]
+    assert out["chunk"].tolist()[-1] == t[24:34]  # short tail kept
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_chunk_text_empty_and_short(ray_session):
+    from logagent_js_ray.ops.chunking import chunk_text
+    out = chunk_text(_ds(["", "ab"]), window=10, overlap=4).to_pandas()
+    # empty doc -> no chunks; short doc -> one whole chunk
+    assert out["doc_id"].tolist() == [1]
+    assert out["chunk"].tolist() == ["ab"]
+
+
+def test_chunk_text_snap_to_space(ray_session):
+    from logagent_js_ray.ops.chunking import chunk_text
+    t = "aaaa bbbb cccc dddd eeee"
+    out = chunk_text(_ds([t]), window=10, overlap=4,
+                     snap_to_space=True).to_pandas() \
+        .sort_values("chunk_idx")
+    # every non-first chunk starts right after a space (word boundary)
+    for s in out["char_start"].tolist()[1:]:
+        assert t[s - 1] == " "
+
+
+def test_chunk_text_overlap_validation(ray_session):
+    import pytest
+    from logagent_js_ray.ops.chunking import chunk_text
+    with pytest.raises(ValueError):
+        chunk_text(_ds(["x"]), window=5, overlap=5)
