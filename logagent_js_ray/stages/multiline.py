@@ -50,11 +50,20 @@ def merge_bucket(g: pd.DataFrame, block_start: str, source_col: str,
 
 
 def multiline_merge(ds: "ray.data.Dataset",
-                    block_start: str = DEFAULT_BLOCK_START,
+                    block_start: str | None = None,
                     source_col: str = "conv_id",
                     text_col: str = "text",
                     order_col: str = "turn_idx",
                     num_buckets: int = 64) -> "ray.data.Dataset":
+    if block_start is None:
+        # MULTILINE_DEFAULT_SEPARATOR overrides the stock default when
+        # the caller names no blockStart (parser.js:222-224; read on
+        # the DRIVER so workers inherit the decision via the closure,
+        # not their own environment)
+        import os
+        block_start = os.environ.get("MULTILINE_DEFAULT_SEPARATOR") \
+            or DEFAULT_BLOCK_START
+
     def add_bucket(b: pa.Table) -> pa.Table:
         arr = b[source_col].combine_chunks() if isinstance(
             b[source_col], pa.ChunkedArray) else b[source_col]

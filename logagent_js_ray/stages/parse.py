@@ -31,6 +31,7 @@ cheap, and read-only (SURVEY.md §7.3).
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -149,6 +150,12 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
     drop = np.zeros(n, dtype=bool)
 
     # ---- JSON fast path (parser.js:474-483,390-468) ------------------
+    # JSON_ENRICHMENT_ENABLED=false (parser.js:41,397-399): parse the
+    # object but return it RAW — no bunyan msg/level/time remap, no
+    # severity mapping, no timestamp promotion ('v' kept). Column
+    # promotion still applies (that's schema mapping, not enrichment).
+    json_raw = os.environ.get(
+        "JSON_ENRICHMENT_ENABLED", "").strip().lower() == "false"
     stripped = pc.utf8_trim_whitespace(text)
     maybe_json = pc.and_(pc.starts_with(stripped, pattern="{"),
                          pc.ends_with(stripped, pattern="}"))
@@ -171,13 +178,15 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
             if not isinstance(obj, dict):
                 continue
             json_ok[i] = True
-            # bunyan normalization (parser.js:424-439)
-            if "msg" in obj and "message" not in obj:
-                obj["message"] = obj.pop("msg")
-            if "level" in obj and isinstance(obj["level"], (int, float)):
-                sev[i] = BUNYAN_LEVELS.get(int(obj.pop("level")))
-            if "time" in obj:
-                ts_str[i] = str(obj.pop("time"))
+            if not json_raw:
+                # bunyan normalization (parser.js:424-439)
+                if "msg" in obj and "message" not in obj:
+                    obj["message"] = obj.pop("msg")
+                if "level" in obj and isinstance(obj["level"],
+                                                 (int, float)):
+                    sev[i] = BUNYAN_LEVELS.get(int(obj.pop("level")))
+                if "time" in obj:
+                    ts_str[i] = str(obj.pop("time"))
             if json_transform is not None:
                 # cfg.json.transform hook (parser.js:440-452): a user
                 # callable over (source, parsed-object); errors are
@@ -198,8 +207,8 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
             for k, v in obj.items():
                 if k in promoted:
                     promoted[k][i] = v
-                elif k != "v":
-                    rest[k] = v
+                elif k != "v" or json_raw:  # bunyan 'v' drop is
+                    rest[k] = v             # enrichment too
             if rest:
                 extras[i] = json.dumps(rest, sort_keys=True, separators=(",", ":"))
         jmask = pa.array(json_ok)

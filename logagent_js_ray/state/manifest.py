@@ -38,16 +38,17 @@ from ..sources.transcripts import list_fragments
 
 def registry_version(paths: list[str] | None = None) -> str:
     """Lineage key for checkpoint skips: pattern-file CONTENT plus the
-    pattern environment switches — registry.py makes all four alter
-    parse output, so a fragment parsed under a different env must not
-    be treated as complete (the same reason load_registry env-keys its
-    cache)."""
+    environment switches that alter parse/merge output (registry gates,
+    JSON enrichment, the multiline default separator) — a fragment
+    parsed under a different env must not be treated as complete (the
+    same reason load_registry env-keys its cache)."""
     h = hashlib.sha256()
     for p in list(paths or []) + [DEFAULT_PATTERNS]:
         with open(p, "rb") as f:
             h.update(f.read())
     for var in ("DISABLE_DEFAULT_PATTERNS", "PATTERN_MATCHING_ENABLED",
-                "SCAN_ALL_PATTERNS"):
+                "SCAN_ALL_PATTERNS", "JSON_ENRICHMENT_ENABLED",
+                "MULTILINE_DEFAULT_SEPARATOR"):
         h.update(f"{var}={os.environ.get(var, '')};".encode())
     url = os.environ.get("PATTERNS_URL", "")
     h.update(f"PATTERNS_URL={url};".encode())

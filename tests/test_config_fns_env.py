@@ -180,3 +180,58 @@ def test_config_geoip_validation_errors(tmp_path):
         "outputFilter": [{"geoip": {"blocksCsv": "/b.csv"}}]}))
     with pytest.raises(ValueError, match="locationsCsv"):
         load_config(str(cfgf))
+
+
+def test_json_enrichment_disabled(monkeypatch):
+    """JSON_ENRICHMENT_ENABLED=false (parser.js:41,397-399): the JSON
+    fast path returns the RAW object — no bunyan msg/level/time remap,
+    no severity, 'v' kept in the extras."""
+    import json as _json
+
+    from logagent_js_ray.registry import PatternRegistry
+    from logagent_js_ray.stages.parse import parse_batch
+    line = _json.dumps({"msg": "boom", "level": 50,
+                        "time": "2024-01-05T10:00:00Z", "v": 0})
+    b = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0]),
+        "role": pa.array(["user"]), "tool": pa.array(["none"]),
+        "ts": pa.array([0], pa.timestamp("us")),
+        "text": pa.array([line])})
+    reg = PatternRegistry()
+    enriched = parse_batch(b, reg)
+    assert enriched["message"][0].as_py() == "boom"
+    assert enriched["severity"][0].as_py() == "error"  # bunyan 50
+    monkeypatch.setenv("JSON_ENRICHMENT_ENABLED", "false")
+    raw = parse_batch(b, reg)
+    assert raw["message"][0].as_py() is None  # no msg remap
+    assert raw["severity"][0].as_py() is None
+    extras = _json.loads(raw["fields_json"][0].as_py())
+    assert extras["msg"] == "boom" and extras["level"] == 50
+    assert extras["v"] == 0  # bunyan 'v' drop is enrichment too
+    assert raw["_type"][0].as_py() == "json"
+
+
+def test_multiline_default_separator_env(monkeypatch, ray_session):
+    import ray.data
+    from logagent_js_ray.stages.multiline import multiline_merge
+    rows = pa.table({
+        "conv_id": pa.array(["a"] * 3),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": pa.array(["BLK one", "cont line", "BLK two"])})
+    # default ^\S: every line starts a block (none start with space)
+    out = multiline_merge(ray.data.from_arrow(rows)).to_pandas()
+    assert len(out) == 3
+    monkeypatch.setenv("MULTILINE_DEFAULT_SEPARATOR", "^BLK ")
+    out2 = multiline_merge(ray.data.from_arrow(rows)).to_pandas() \
+        .sort_values("turn_idx")
+    assert out2["text"].tolist() == ["BLK one\ncont line", "BLK two"]
+
+
+def test_registry_version_new_env_switches(monkeypatch):
+    from logagent_js_ray.state.manifest import registry_version
+    base = registry_version()
+    monkeypatch.setenv("JSON_ENRICHMENT_ENABLED", "false")
+    assert registry_version() != base
+    monkeypatch.delenv("JSON_ENRICHMENT_ENABLED")
+    monkeypatch.setenv("MULTILINE_DEFAULT_SEPARATOR", "^BLK ")
+    assert registry_version() != base
