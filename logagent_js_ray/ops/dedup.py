@@ -782,7 +782,13 @@ def connected_components(pairs: "ray.data.Dataset",
 
     edges = dedup(pairs.map_batches(to_edges,
                                     batch_format="pyarrow")).materialize()
-    if driver_threshold and edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    if n_edges == 0:  # no pairs -> no clusters (and the pandas blocks
+        # of an empty merge are schema-less, so don't touch columns)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    if driver_threshold and n_edges <= driver_threshold:
         df = edges.to_pandas()
         parent: dict = {}
 

@@ -1,0 +1,63 @@
+"""Corpus curation pipeline (pipelines/corpus)."""
+
+import pyarrow as pa
+
+import ray.data
+
+
+def test_exact_dedup_rows(ray_session):
+    from logagent_js_ray.pipelines.corpus import exact_dedup_rows
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": ["same", "same", "other", "same"]})).repartition(4)
+    out = exact_dedup_rows(ds).to_pandas().sort_values("doc_id")
+    # keep-first = min doc_id per distinct content
+    assert out["doc_id"].tolist() == [1, 2]
+    assert sorted(out["text"]) == ["other", "same"]
+
+
+def test_curate_corpus_end_to_end(ray_session, tmp_path):
+    from logagent_js_ray.pipelines.corpus import curate_corpus
+    base = ("the cat and the dog have that thing to be of note here "
+            "plus some more words to pass the length gate fine")
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    for i in range(30):
+        # distinct word soup per doc so near-dup pairing stays sparse
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append({"doc_id": i, "text": base + f" {body}",
+                     "source": f"s{i % 3}", "lang": "en"})
+    # doc 7 carries the benchmark sentence -> contaminated
+    rows[7]["text"] += " " + secret
+    # exact duplicate of doc 0 (higher id -> dropped by keep-first)
+    rows.append({"doc_id": 100, "text": rows[0]["text"],
+                 "source": "s0", "lang": "en"})
+    # a low-quality doc (too short)
+    rows.append({"doc_id": 101, "text": "tiny", "source": "s0",
+                 "lang": "en"})
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    import pyarrow.parquet as pq
+    p = tmp_path / "docs.parquet"
+    pq.write_table(t, str(p))
+    bench = ray.data.from_arrow(pa.table({"text": [secret]}))
+    res = curate_corpus(str(p), out_dir=str(tmp_path / "out"),
+                        bench=bench, sample_fraction=1.0,
+                        gopher_kwargs={"min_words": 5,
+                                       "min_stop_hits": 2},
+                        jaccard_threshold=(9, 10))
+    c = res["counts"]
+    assert c["input"] == 32
+    assert c["quality"] == 31          # 'tiny' dropped
+    assert c["decontaminated"] == 30   # doc 7 dropped (bench 5-grams)
+    assert c["exact_dedup"] == 29      # duplicate 100 dropped
+    # docs share the 'base' prefix but differ in 12/~32 shingles, so at
+    # 9/10 Jaccard nothing clusters
+    assert c["near_dedup"] == 29
+    assert c["sampled"] == 29          # fraction 1.0 keeps all
+    out = res["dataset"].to_pandas()
+    assert len(out) == 29
+    for gone in (7, 100, 101):
+        assert gone not in out["doc_id"].tolist()
+    # written output matches the returned dataset
+    back = pq.read_table(str(tmp_path / "out")).num_rows
+    assert back == 29
