@@ -28,7 +28,16 @@ def chunk_text(ds: "ray.data.Dataset", id_col: str = "doc_id",
     """Explode each doc into overlapping windows: starts at
     0, stride, 2·stride, … (stride = window - overlap) while start <
     len(text); empty texts produce no chunks. Adds ``chunk_idx`` and
-    ``char_start`` beside the chunk text (column ``chunk``)."""
+    ``char_start`` beside the chunk text (column ``chunk``).
+
+    ``snap_to_space`` snaps each non-first start BACKWARD to the
+    character after the last space before the grid start (falling back
+    to the grid start when none exists in the uncovered span) — the
+    backward direction is what makes the mode lossless: a snapped
+    start is never later than its grid start, so consecutive windows
+    always overlap and every character lands in at least one chunk (a
+    forward snap can jump past the previous window's end and silently
+    drop the gap)."""
     if overlap >= window:
         raise ValueError(f"overlap {overlap} must be < window {window}")
     stride = window - overlap
@@ -40,21 +49,27 @@ def chunk_text(ds: "ray.data.Dataset", id_col: str = "doc_id",
         for i, t in zip(ids, texts):
             if not t:
                 continue
-            idx, start = 0, 0
-            while start < len(t):
-                if snap_to_space and start:
-                    sp = t.find(" ", start)
-                    if sp == -1 or sp + 1 >= len(t):
-                        break  # no later word boundary: done
-                    start = sp + 1
+            idx, grid, prev = 0, 0, -1
+            while grid < len(t):
+                start = grid
+                if snap_to_space and grid:
+                    # last space in (prev, grid]: snapped start stays
+                    # > prev (progress) and <= grid (coverage)
+                    sp = t.rfind(" ", prev + 1, grid + 1)
+                    if sp > prev:
+                        start = sp + 1
                 out_id.append(i)
                 out_idx.append(idx)
                 out_start.append(start)
                 out_chunk.append(t[start:start + window])
                 idx += 1
-                start += stride
+                prev = start
+                # advance from the EMITTED start: the next start is
+                # then <= prev + stride <= prev + window, so windows
+                # always overlap and no span is skipped
+                grid = start + stride
         return pa.table({
-            id_col: pa.array(out_id),
+            id_col: pa.array(out_id, type=b[id_col].type),
             "chunk_idx": pa.array(out_idx, pa.int64()),
             "char_start": pa.array(out_start, pa.int64()),
             "chunk": pa.array(out_chunk, pa.string()),

@@ -77,15 +77,22 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     partitioned Parquet). ``bench`` is the benchmark/eval Dataset to
     decontaminate against (skipped when None); ``sample_fraction``
     None skips sampling."""
+    # counted stages MATERIALIZE: Datasets are lazy and count() does
+    # not cache, so counting an unmaterialized stage would re-execute
+    # everything upstream once per count (several redundant full
+    # corpus passes at scale). The materialized blocks hold only the
+    # surviving rows of each stage.
     counts: dict[str, int] = {}
     ds = ray.data.read_parquet(doc_path)
+    in_cols = list(ds.schema().names)  # caller columns ALL survive
     counts["input"] = ds.count()
 
     # 1. quality gate (per-batch, no shuffle)
     ds = ds.map_batches(analyze_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b, kw=(gopher_kwargs or {}): gopher_rules_batch(b, **kw),
-        batch_format="pyarrow").filter(expr="gopher_ok == True")
+        batch_format="pyarrow").filter(expr="gopher_ok == True") \
+        .select_columns(in_cols).materialize()
     counts["quality"] = ds.count()
 
     # 2. decontamination (broadcast set, per-batch filter)
@@ -93,30 +100,33 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         ref = collect_benchmark_ngrams(bench, k=decontam_k)
         ds = ds.map_batches(Decontaminator, fn_constructor_kwargs={
             "bench_ref": ref, "k": decontam_k}, batch_format="pyarrow",
-            concurrency=(1, 8)).filter(expr="contaminated == False")
+            concurrency=(1, 8)).filter(expr="contaminated == False") \
+            .select_columns(in_cols).materialize()
         counts["decontaminated"] = ds.count()
 
     # 3. exact dedup (one corpus shuffle by digest)
-    keep_cols = [c for c in ("doc_id", "text", "source", "lang")
-                 if c in ds.schema().names]
-    ds = exact_dedup_rows(ds.select_columns(keep_cols)).materialize()
+    ds = exact_dedup_rows(ds).materialize()
     counts["exact_dedup"] = ds.count()
 
     # 4. near-dup cluster dedup (pairs -> components -> keep minimum)
     num, den = jaccard_threshold
     pairs = ngram_jaccard_pairs(ds, threshold_num=num, threshold_den=den)
     comp = connected_components(pairs)
-    ds = keep_canonical(ds, comp)
+    ds = keep_canonical(ds, comp).materialize()
     counts["near_dedup"] = ds.count()
 
     # 5. deterministic sample
     if sample_fraction is not None:
         ds = hash_sample(ds, "doc_id", fraction=sample_fraction,
-                         seed=seed)
+                         seed=seed).materialize()
         counts["sampled"] = ds.count()
 
     if out_dir:
         from ..sinks import PARQUET_WRITE_OPTS
+        from .fused import write_concurrency
         os.makedirs(out_dir, exist_ok=True)
-        ds.write_parquet(out_dir, **PARQUET_WRITE_OPTS)
+        # cap writers: unlimited write tasks contend on a local disk
+        # (CLAUDE.md rule; measured 2x in fused.write_concurrency)
+        ds.write_parquet(out_dir, concurrency=write_concurrency(),
+                         **PARQUET_WRITE_OPTS)
     return {"counts": counts, "dataset": ds}

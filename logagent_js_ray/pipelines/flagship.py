@@ -32,6 +32,8 @@ from ..sources.transcripts import read_transcripts
 from ..stages.aggregate import agg_counts, make_time_bucket_fn
 from ..stages.enrich import put_lookup
 from ..stages.mask import MaskConfig
+from ..stages.parse import json_enrichment_disabled as \
+    _json_enrichment_disabled
 
 # Default routing table — the analogue of the ES output's ``indices:``
 # map over logSource (FIXTURES.md §3).
@@ -109,6 +111,7 @@ def build_routed(input_path,
             "default_sink": default_sink,
             "detect_severity": detect_severity,
             "max_log_size": max_log_size,
+            "json_raw": _json_enrichment_disabled(),  # driver env read
         },
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or pool_size())

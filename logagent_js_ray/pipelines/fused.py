@@ -105,7 +105,8 @@ class FlagshipStage:
                  conv_buckets: int | None = None,
                  default_sink: str = "sink_default",
                  max_log_size: int | None = None,
-                 emit: str = "rows"):
+                 emit: str = "rows",
+                 json_raw: bool | None = None):
         # emit="cube": the stage OUTPUTS per-batch partial cubes instead
         # of parsed rows — the aggregate-only pipeline then never ships
         # row data through the object store (tens of GB at 48M turns);
@@ -127,10 +128,14 @@ class FlagshipStage:
         self.route_cfg = RouteConfig(routes, default_sink=default_sink,
                                      drop_unmatched=drop_unmatched)
         self.acc = acc
+        # driver-read flag shipped via constructor kwargs (see
+        # parse.json_enrichment_disabled); None = legacy caller, fall
+        # back to this worker's env
+        self.json_raw = json_raw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.prep(batch)
-        b = parse_batch(b, self.registry)
+        b = parse_batch(b, self.registry, json_raw=self.json_raw)
         if self.mask_cfg is not None:
             b = mask_batch(b, self.mask_cfg)
         b = self.enricher(b)

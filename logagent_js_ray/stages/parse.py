@@ -133,9 +133,21 @@ class _Acc:
         self.cols[name] = pc.if_else(mask, values, self.cols[name])
 
 
+def json_enrichment_disabled() -> bool:
+    """JSON_ENRICHMENT_ENABLED=false (parser.js:41). Call on the
+    DRIVER and pass the result down (make_parse_fn / FlagshipStage do)
+    so workers inherit the decision through the closure, not their own
+    environment — the same driver-read rule MULTILINE_DEFAULT_SEPARATOR
+    follows, and what keeps the checkpoint lineage hash (driver env)
+    consistent with what actually executed."""
+    return os.environ.get(
+        "JSON_ENRICHMENT_ENABLED", "").strip().lower() == "false"
+
+
 def parse_batch(batch: pa.Table, registry: PatternRegistry,
                 text_col: str = "text", source_col: str = "role",
-                ts_col: str = "ts", json_transform=None) -> pa.Table:
+                ts_col: str = "ts", json_transform=None,
+                json_raw: bool | None = None) -> pa.Table:
     n = batch.num_rows
     schema_fields = registry.output_schema_fields()
     acc = _Acc(n, schema_fields)
@@ -150,12 +162,13 @@ def parse_batch(batch: pa.Table, registry: PatternRegistry,
     drop = np.zeros(n, dtype=bool)
 
     # ---- JSON fast path (parser.js:474-483,390-468) ------------------
-    # JSON_ENRICHMENT_ENABLED=false (parser.js:41,397-399): parse the
-    # object but return it RAW — no bunyan msg/level/time remap, no
-    # severity mapping, no timestamp promotion ('v' kept). Column
-    # promotion still applies (that's schema mapping, not enrichment).
-    json_raw = os.environ.get(
-        "JSON_ENRICHMENT_ENABLED", "").strip().lower() == "false"
+    # json_raw (JSON_ENRICHMENT_ENABLED=false, parser.js:41,397-399):
+    # parse the object but return it RAW — no bunyan msg/level/time
+    # remap, no severity mapping, no timestamp promotion ('v' kept).
+    # Column promotion still applies (schema mapping, not enrichment).
+    # None = direct driver call: read the env here.
+    if json_raw is None:
+        json_raw = json_enrichment_disabled()
     stripped = pc.utf8_trim_whitespace(text)
     maybe_json = pc.and_(pc.starts_with(stripped, pattern="{"),
                          pc.ends_with(stripped, pattern="}"))
@@ -358,11 +371,13 @@ def make_parse_fn(pattern_paths: list[str] | None = None,
     to every JSON-fast-path record (cfg.json.transform,
     parser.js:440-452) — cloudpickled to workers with the closure."""
     paths = list(pattern_paths) if pattern_paths else None
+    json_raw = json_enrichment_disabled()  # driver-time env read
 
     def _parse(batch: pa.Table) -> pa.Table:
         return parse_batch(batch, load_registry(paths), text_col=text_col,
                            source_col=source_col, ts_col=ts_col,
-                           json_transform=json_transform)
+                           json_transform=json_transform,
+                           json_raw=json_raw)
 
     return _parse
 

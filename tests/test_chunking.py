@@ -37,9 +37,30 @@ def test_chunk_text_snap_to_space(ray_session):
     out = chunk_text(_ds([t]), window=10, overlap=4,
                      snap_to_space=True).to_pandas() \
         .sort_values("chunk_idx")
-    # every non-first chunk starts right after a space (word boundary)
+    # every non-first chunk starts right after a space when one exists
+    # in the uncovered span
     for s in out["char_start"].tolist()[1:]:
         assert t[s - 1] == " "
+
+
+def test_chunk_text_snap_lossless(ray_session):
+    """Snap mode must never leave a character uncovered (review
+    regression: forward snapping skipped spans between windows)."""
+    from logagent_js_ray.ops.chunking import chunk_text
+    cases = [
+        "aaaaaaaaaaaaaa bbbb",          # long first word
+        "aaaa " + "b" * 30,             # no space after the first
+        "x" * 35,                       # no spaces at all
+        "a b c d e f g h i j k l m n",  # space-dense
+    ]
+    out = chunk_text(_ds(cases), window=10, overlap=4,
+                     snap_to_space=True).to_pandas()
+    for doc_id, t in enumerate(cases):
+        g = out[out["doc_id"] == doc_id].sort_values("chunk_idx")
+        covered = set()
+        for s, c in zip(g["char_start"], g["chunk"]):
+            covered |= set(range(s, s + len(c)))
+        assert covered == set(range(len(t))), t
 
 
 def test_chunk_text_overlap_validation(ray_session):

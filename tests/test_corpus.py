@@ -26,15 +26,16 @@ def test_curate_corpus_end_to_end(ray_session, tmp_path):
         # distinct word soup per doc so near-dup pairing stays sparse
         body = " ".join(f"w{i}x{j}" for j in range(12))
         rows.append({"doc_id": i, "text": base + f" {body}",
-                     "source": f"s{i % 3}", "lang": "en"})
+                     "source": f"s{i % 3}", "lang": "en",
+                     "url": f"https://x/{i}"})  # extra caller column
     # doc 7 carries the benchmark sentence -> contaminated
     rows[7]["text"] += " " + secret
     # exact duplicate of doc 0 (higher id -> dropped by keep-first)
     rows.append({"doc_id": 100, "text": rows[0]["text"],
-                 "source": "s0", "lang": "en"})
+                 "source": "s0", "lang": "en", "url": "https://x/100"})
     # a low-quality doc (too short)
     rows.append({"doc_id": 101, "text": "tiny", "source": "s0",
-                 "lang": "en"})
+                 "lang": "en", "url": "https://x/101"})
     t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
     import pyarrow.parquet as pq
     p = tmp_path / "docs.parquet"
@@ -58,6 +59,8 @@ def test_curate_corpus_end_to_end(ray_session, tmp_path):
     assert len(out) == 29
     for gone in (7, 100, 101):
         assert gone not in out["doc_id"].tolist()
+    # caller columns outside the text/id set survive curation
+    assert out.loc[out["doc_id"] == 0, "url"].iloc[0] == "https://x/0"
     # written output matches the returned dataset
     back = pq.read_table(str(tmp_path / "out")).num_rows
     assert back == 29
