@@ -53,9 +53,13 @@ def chunk_text(ds: "ray.data.Dataset", id_col: str = "doc_id",
             while grid < len(t):
                 start = grid
                 if snap_to_space and grid:
-                    # last space in (prev, grid]: snapped start stays
-                    # > prev (progress) and <= grid (coverage)
-                    sp = t.rfind(" ", prev + 1, grid + 1)
+                    # last space in (prev, grid): snapped start stays
+                    # > prev (progress) and <= grid (coverage) — the
+                    # upper bound must EXCLUDE grid itself, else a
+                    # space exactly at grid yields start = grid + 1
+                    # and position grid lands in no chunk when
+                    # overlap == 0 (round-3 advice)
+                    sp = t.rfind(" ", prev + 1, grid)
                     if sp > prev:
                         start = sp + 1
                 out_id.append(i)

@@ -128,9 +128,22 @@ def clickhouse_record(batch: pa.Table, fields: dict[str, str],
         if src == "@timestamp":
             ts = batch[src] if src in batch.column_names else \
                 pa.nulls(n, pa.timestamp("us"))
-            cols[dest] = pc.cast(
-                pc.floor(pc.divide(pc.cast(ts, pa.int64()), 1000)),
-                pa.int64())
+            # normalize the STORAGE unit to epoch-ms (round-3 advice:
+            # the old `/1000` assumed us storage and integer-divide
+            # truncated pre-epoch values toward zero). FLOOR division
+            # matches getTime(); float64 floor is exact here (epoch
+            # micros < 2^53 through year 2255).
+            unit = ts.type.unit
+            i = pc.cast(ts, pa.int64())
+            if unit == "s":
+                cols[dest] = pc.multiply(i, pa.scalar(1000, pa.int64()))
+            elif unit == "ms":
+                cols[dest] = i
+            else:
+                div = 1_000.0 if unit == "us" else 1_000_000.0
+                cols[dest] = pc.cast(
+                    pc.floor(pc.divide(pc.cast(i, pa.float64()), div)),
+                    pa.int64())
             continue
         if src not in batch.column_names:
             cols[dest] = pa.nulls(n, pa.string())

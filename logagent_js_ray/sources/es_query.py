@@ -55,8 +55,11 @@ def es_hits_parse(batch: pa.Table, body_col: str = "bytes") -> pa.Table:
         for h in hits:
             src = h.get("_source")
             if src is None:
+                # mirror the reference fallback (`var data = result`):
+                # keep every hit key — including _score — except the
+                # three meta keys promoted to their own columns
                 src = {k: v for k, v in h.items()
-                       if k not in ("_id", "_type", "_index", "_score")}
+                       if k not in ("_id", "_type", "_index")}
             out_id.append(h.get("_id"))
             out_type.append(h.get("_type"))
             out_index.append(h.get("_index"))

@@ -63,6 +63,22 @@ def test_chunk_text_snap_lossless(ray_session):
         assert covered == set(range(len(t))), t
 
 
+def test_chunk_text_snap_lossless_zero_overlap(ray_session):
+    """Round-3 advice regression: with overlap=0 and a space exactly
+    at a grid position ('abcde fghij', window 5), the old inclusive
+    rfind bound snapped start past the grid and dropped position 5."""
+    from logagent_js_ray.ops.chunking import chunk_text
+    cases = ["abcde fghij", "abcd efgh ijkl", "a" * 12]
+    out = chunk_text(_ds(cases), window=5, overlap=0,
+                     snap_to_space=True).to_pandas()
+    for doc_id, t in enumerate(cases):
+        g = out[out["doc_id"] == doc_id]
+        covered = set()
+        for s, c in zip(g["char_start"], g["chunk"]):
+            covered |= set(range(s, s + len(c)))
+        assert covered == set(range(len(t))), t
+
+
 def test_chunk_text_overlap_validation(ray_session):
     import pytest
     from logagent_js_ray.ops.chunking import chunk_text

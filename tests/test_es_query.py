@@ -30,8 +30,10 @@ def test_es_hits_parse_unwrap_and_fallback():
     assert out.num_rows == 2
     assert out["_id"].to_pylist() == ["a1", "a2"]
     assert json.loads(out["source_json"][0].as_py()) == {"msg": "x", "n": 1}
+    # fallback serializes the WHOLE hit minus the three promoted meta
+    # keys — _score stays (reference `var data = result`, round-3 advice)
     assert json.loads(out["source_json"][1].as_py()) == {
-        "fields": {"msg": ["y"]}}
+        "_score": 1.0, "fields": {"msg": ["y"]}}
 
 
 def test_read_es_query_pages(ray_session, tmp_path):

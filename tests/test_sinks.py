@@ -75,3 +75,17 @@ def test_clickhouse_record_mapping():
     assert out["f"].to_pylist() == [None, True]    # false -> null
     assert out["missing"].to_pylist() == [None, None]
     assert out["_ch_table"].to_pylist() == ["logs", "logs"]
+
+
+def test_clickhouse_record_timestamp_units():
+    """Round-3 advice: @timestamp must normalize ANY storage unit to
+    epoch-ms and FLOOR pre-epoch values (getTime()), not truncate."""
+    from logagent_js_ray.sinks.files import clickhouse_record
+    for unit, vals, want in [
+            ("us", [-1_500_999, 1_500_999], [-1501, 1500]),
+            ("ms", [-1501, 1500], [-1501, 1500]),
+            ("s", [-2, 3], [-2000, 3000]),
+            ("ns", [-1_500_999_001, 1_500_999_001], [-1501, 1500])]:
+        t = pa.table({"@timestamp": pa.array(vals, pa.timestamp(unit))})
+        out = clickhouse_record(t, fields={"t": "@timestamp"})
+        assert out["t"].to_pylist() == want, unit
