@@ -413,6 +413,247 @@ def ensure_media(root: str | None = None, n: int = MEDIA_N,
     return out_dir
 
 
+ANN_GEN_VERSION = 1
+# the driver's correctness gate grades at sf0.01; like the transcript
+# oracles (see pipelines/queries.py), the data-derived ANN fixture
+# tables (centroids / twins / expected signature pairs) are PINNED to
+# that scale. The plane tables depend only on (seed, dim=64) and hold
+# at every sf.
+ANN_PIN_SF_DIR = os.environ.get("LJR_ANN_PIN_SF_DIR",
+                                "/root/testdata/sf0.01")
+
+
+def _ann_normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _ann_kmeans(x: np.ndarray, n_lists: int, n_iters: int,
+                seed: int) -> np.ndarray:
+    """Fixture-local Lloyd's k-means, operation-for-operation the same
+    float64 arithmetic as ops.similarity.train_ivf_centroids (argmax
+    assignment, per-list mean, renormalize) so centroids are bit-equal
+    — what it does NOT share is the Ray sampling plumbing."""
+    x = _ann_normalize(x.astype(np.float64))
+    n_lists = min(n_lists, len(x))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), n_lists, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents = _ann_normalize(cents)
+    return cents
+
+
+def _ann_minhash_pairs(doc_ids, texts, num_perm=64, bands=16,
+                       threshold=0.5, k=3):
+    """Fixture-local MinHash+LSH expected pairs: crc32 token hashes,
+    k-gram polynomial shingles mod 2^64 (masked to 32 bits), the
+    (a*sh+b) mod Mersenne-61 permutation family, 4-row polynomial band
+    hashes, same-band candidate pairs verified by signature agreement.
+    Scalar Python arithmetic throughout (vs the operator's vectorized
+    numpy batches) — the mm_pipeline precedent: same contract, none of
+    the production plumbing."""
+    P = 1_000_003
+    M64 = (1 << 64) - 1
+    MERS = (1 << 61) - 1
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, 1 << 31, num_perm, dtype=np.uint64).tolist()
+    b = rng.integers(0, 1 << 31, num_perm, dtype=np.uint64).tolist()
+    rows_per_band = num_perm // bands
+    sigs, buckets = {}, {}
+    for did, text in zip(doc_ids, texts):
+        toks = (text or "").split()
+        if not toks:
+            sh = [0]
+        elif len(toks) < k:
+            acc = 0
+            for t in toks:
+                acc = (acc * P + zlib.crc32(t.encode())) & M64
+            sh = [acc]
+        else:
+            th = [zlib.crc32(t.encode()) for t in toks]
+            ss = set()
+            for j in range(len(toks) - k + 1):
+                g = 0
+                for v in th[j:j + k]:
+                    g = (g * P + v) & M64
+                ss.add(g)
+            sh = sorted(ss)
+        sig = [min((a[p] * (s & 0xFFFFFFFF) + b[p]) % MERS for s in sh)
+               for p in range(num_perm)]
+        sigs[did] = sig
+        for bi in range(bands):
+            bh = 0
+            for v in sig[bi * rows_per_band:(bi + 1) * rows_per_band]:
+                bh = (bh * P + v) & M64
+            buckets.setdefault((bi, bh & 0x7FFF_FFFF_FFFF_FFFF),
+                               []).append(did)
+    pairs = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                key = (ids[i], ids[j])
+                if key in pairs:
+                    continue
+                sa, sb = sigs[ids[i]], sigs[ids[j]]
+                est = sum(x == y for x, y in zip(sa, sb)) / num_perm
+                if est >= threshold:
+                    pairs[key] = est
+    return pairs
+
+
+def _ann_simhash_pairs(doc_ids, texts, max_hamming=8):
+    """Fixture-local SimHash expected pairs: crc32-pair 64-bit token
+    hashes, ±1 bit votes, (max_hamming+1)-band pigeonhole blocking,
+    exact popcount verify. Scalar Python arithmetic (see
+    _ann_minhash_pairs)."""
+    n_bands = min(max(2, max_hamming + 1), 32)
+    width = 64 // n_bands
+    hashes, buckets = {}, {}
+    for did, text in zip(doc_ids, texts):
+        toks = (text or "").split()
+        if not toks:
+            h = 0
+        else:
+            v = [0] * 64
+            for t in toks:
+                th = zlib.crc32(t.encode()) | \
+                    (zlib.crc32(t[::-1].encode()) << 32)
+                for j in range(64):
+                    v[j] += 1 if (th >> j) & 1 else -1
+            h = sum(1 << j for j in range(64) if v[j] > 0)
+        hashes[did] = h
+        for bi in range(n_bands):
+            shift = bi * width
+            w = (64 - shift) if bi == n_bands - 1 else width
+            key = (h >> shift) & ((1 << w) - 1)
+            buckets.setdefault((bi, key), []).append(did)
+    pairs = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                key = (ids[i], ids[j])
+                if key in pairs:
+                    continue
+                ham = bin(hashes[ids[i]] ^ hashes[ids[j]]).count("1")
+                if ham <= max_hamming:
+                    pairs[key] = ham
+    return pairs
+
+
+def ensure_ann(root: str | None = None, sf_dir: str | None = None,
+               force: bool = False) -> str:
+    """ANN/near-dup oracle fixture pack for the hash-checked v_ann row
+    (round-3 verdict item #1). Five tables under ``<root>/ann/``:
+
+    * ``planes_knn.parquet`` — the 8 seed-11 hyperplanes
+      (ops/similarity.LSHIndexScorer's exact tensor, column-sliced);
+    * ``planes_neardup.parquet`` — the (4 tables × 6 planes) seed-11
+      tensor of ops/dedup.HyperplaneBucketizer at n_rows=500;
+    * ``centroids.parquet`` — IVF centroids from the fixture-local
+      k-means (bit-equal to train_ivf_centroids on the pinned scale);
+    * ``twins.parquet`` — the 10 planted near-dup twins
+      (pipelines/queries._plant_near_dups arithmetic, fixture-local);
+    * ``sig_pairs.parquet`` — EXPECTED MinHash/SimHash candidate pairs
+      (the crc32/uint64-wrap hashing is not DuckDB-expressible, so
+      these follow the mm_pipeline expected-table precedent).
+
+    Plane/centroid/twin tables are INPUTS the SQL oracle scores with
+    plain list arithmetic; only sig_pairs carries expected output."""
+    from ..ops import e6_round_half_away
+    root = root or FIXTURE_ROOT
+    sf_dir = sf_dir or ANN_PIN_SF_DIR
+    out_dir = os.path.join(os.path.abspath(root), "ann")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={ANN_GEN_VERSION} sf={sf_dir}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    dim = 64
+
+    # hyperplane tables (seed/dim-determined, sf-independent)
+    pk = np.random.default_rng(11).standard_normal((dim, 8))
+    pq.write_table(pa.table({
+        "plane_id": pa.array(range(8), pa.int32()),
+        "plane": pa.array([pk[:, j].tolist() for j in range(8)],
+                          pa.list_(pa.float64())),
+    }), os.path.join(out_dir, "planes_knn.parquet"))
+    pn = np.random.default_rng(11).standard_normal((4, dim, 6))
+    tbls, pids, planes = [], [], []
+    for t in range(4):
+        for j in range(6):
+            tbls.append(t)
+            pids.append(j)
+            planes.append(pn[t, :, j].tolist())
+    pq.write_table(pa.table({
+        "tbl": pa.array(tbls, pa.int32()),
+        "plane_id": pa.array(pids, pa.int32()),
+        "plane": pa.array(planes, pa.list_(pa.float64())),
+    }), os.path.join(out_dir, "planes_neardup.parquet"))
+
+    # sf-pinned tables
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vecs32 = np.stack([np.asarray(v, np.float32)
+                       for v in emb["embedding"].to_pylist()])
+    cents = _ann_kmeans(vecs32[:4096], 8, 10, 7)
+    pq.write_table(pa.table({
+        "list_id": pa.array(range(len(cents)), pa.int32()),
+        "centroid": pa.array([c.tolist() for c in cents],
+                             pa.list_(pa.float64())),
+    }), os.path.join(out_dir, "centroids.parquet"))
+
+    ids = np.asarray(emb["vec_id"].to_pylist(), np.int64)
+    tw_id, tw_vec = [], []
+    for vid in range(10):
+        pos = np.flatnonzero(ids == vid)
+        if not len(pos):
+            continue
+        rng = np.random.default_rng(vid + 12345)
+        v = vecs32[pos[0]] + 0.02 * rng.standard_normal(dim)
+        tw_id.append(vid + 1_000_000)
+        tw_vec.append(v.astype(np.float32).astype(np.float64).tolist())
+    pq.write_table(pa.table({
+        "vec_id": pa.array(tw_id, pa.int64()),
+        "embedding": pa.array(tw_vec, pa.list_(pa.float64())),
+    }), os.path.join(out_dir, "twins.parquet"))
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    did = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    mh = _ann_minhash_pairs(did, texts)
+    sh = _ann_simhash_pairs(did, texts)
+    methods, ia, ib, se6 = [], [], [], []
+    for (x, y), est in sorted(mh.items()):
+        methods.append("minhash")
+        ia.append(x)
+        ib.append(y)
+        se6.append(int(e6_round_half_away(np.array([est]))[0]))
+    for (x, y), ham in sorted(sh.items()):
+        methods.append("simhash")
+        ia.append(x)
+        ib.append(y)
+        se6.append(ham * 1_000_000)
+    pq.write_table(pa.table({
+        "method": pa.array(methods, pa.string()),
+        "id_a": pa.array(ia, pa.int64()),
+        "id_b": pa.array(ib, pa.int64()),
+        "score_e6": pa.array(se6, pa.int64()),
+    }), os.path.join(out_dir, "sig_pairs.parquet"))
+    with open(done, "w") as f:
+        f.write(f"v={ANN_GEN_VERSION} sf={sf_dir}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))

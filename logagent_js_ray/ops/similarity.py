@@ -176,13 +176,22 @@ def topk_cosine_lsh(ds: "ray.data.Dataset", query_vecs: np.ndarray,
 
 def train_ivf_centroids(ds: "ray.data.Dataset", n_lists: int = 16,
                         sample_size: int = 4096, n_iters: int = 10,
-                        seed: int = 7,
+                        seed: int = 7, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> np.ndarray:
     """Deterministic Lloyd's k-means over a bounded sample (first
     ``sample_size`` rows — only the sample is materialized, never the
     corpus). Returns L2-normalized (n_lists, dim) centroids; cosine
-    assignment = argmax dot product against them."""
-    sample = ds.limit(sample_size).select_columns([vec_col]).take_all()
+    assignment = argmax dot product against them.
+
+    The sample is canonicalized by sorting on ``id_col``: take_all
+    returns blocks in completion order, so without the sort the SAME
+    dataset trains different centroids run to run (observed 124/500
+    rows displaced) — k-means init and mean order are both
+    order-sensitive. With the sort, centroids are a pure function of
+    the sampled row set."""
+    sample = ds.limit(sample_size).select_columns(
+        [id_col, vec_col]).take_all()
+    sample.sort(key=lambda r: r[id_col])
     x = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
     n_lists = min(n_lists, len(x))
     rng = np.random.default_rng(seed)
@@ -255,7 +264,7 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", query_vecs: np.ndarray,
     scan time. Same partial-top-k merge shape as topk_cosine."""
     if centroids is None:
         centroids = train_ivf_centroids(ds, n_lists=n_lists,
-                                        vec_col=vec_col)
+                                        id_col=id_col, vec_col=vec_col)
     q_ref = ray.put(np.asarray(query_vecs, np.float64))
     c_ref = ray.put(np.asarray(centroids, np.float64))
     partials = ds.map_batches(
