@@ -16,14 +16,24 @@ where documents were dropped. Scale shapes per stage:
     documents);
   * near-dup — pair generation shuffles signatures (not texts), the
     component map is small by construction and broadcasts.
+
+Accounting is SINGLE-PASS (round-3 verdict item #3): surviving-row
+counts stream into a zero-CPU counter actor from inside the batch
+passes that run anyway, instead of a ``.materialize() + count()`` per
+stage (the round-3 shape held the corpus in the object store 4-5
+times). The corpus materializes exactly once mid-pipeline — before
+near-dup pair generation, which consumes the surviving rows twice
+(pair stream + canonical keep) — plus the returned deliverable.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..ops.dedup import (add_content_hash, connected_components,
@@ -64,36 +74,102 @@ def exact_dedup_rows(ds: "ray.data.Dataset", text_col: str = "text",
                      batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+class StageCounter:
+    """Keyed surviving-row counter — the CubeAccumulator pattern
+    (pipelines/fused.py:47) with a scalar payload: per-(stage,
+    batch-key) last-write-wins makes task retries idempotent, so the
+    counts are exact even when Ray re-executes a batch."""
+
+    def __init__(self):
+        self.parts: dict[tuple, int] = {}
+
+    def add(self, stage: str, key: str, n: int) -> None:
+        self.parts[(stage, key)] = n
+
+    def totals(self) -> dict:
+        out: dict[str, int] = {}
+        for (stage, _), n in self.parts.items():
+            out[stage] = out.get(stage, 0) + n
+        return out
+
+
+def _count_key(b: pa.Table, id_col: str) -> str:
+    """Content fingerprint of a batch, stable across retries — md5 over
+    the IPC-framed id column (IPC, not raw buffers: zero-copy slices
+    share parent buffers; see pipelines/fused._batch_key)."""
+    h = hashlib.md5()
+    sink = pa.BufferOutputStream()
+    kt = b.select([id_col])
+    with pa.ipc.new_stream(sink, kt.schema) as w:
+        w.write_table(kt)
+    h.update(sink.getvalue())
+    h.update(str(b.num_rows).encode())
+    return h.hexdigest()
+
+
+def _counted(acc, stage: str, id_col: str):
+    """Pass-through batch fn that reports surviving rows for ``stage``.
+    The add is BLOCKING so downstream materialization returning implies
+    every partial landed (fire-and-forget would race totals())."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows:
+            ray.get(acc.add.remote(stage, _count_key(b, id_col),
+                                   b.num_rows))
+        return b
+    return fn
+
+
+# declared-approximation preset for a web-scale corpus: 8-byte hashed
+# shingles through the only all-to-all (2^-64 per-shingle collision
+# odds, ~2.4x fewer exchange bytes measured in BASELINE.md) and a
+# stop-shingle posting cap (a shingle shared by >max_posting docs is
+# boilerplate, and its posting list pairs O(n²) — the standard guard).
+WEB_SCALE_PAIR_KWARGS = {"hashed_shingles": True, "max_posting": 10_000}
+
+
 def curate_corpus(doc_path: str, out_dir: str | None = None,
                   bench: "ray.data.Dataset | None" = None,
                   sample_fraction: float | None = None,
                   seed: int = 42,
                   gopher_kwargs: dict | None = None,
                   jaccard_threshold: tuple = (1, 3),
-                  decontam_k: int = 5) -> dict:
+                  decontam_k: int = 5,
+                  scale: str = "standard",
+                  id_col: str = "doc_id") -> dict:
     """Run the full curation chain over ``doc_path`` and return a
     summary dict with per-stage surviving row counts (plus the curated
     Dataset under ``"dataset"``; with ``out_dir`` it is also written as
     partitioned Parquet). ``bench`` is the benchmark/eval Dataset to
     decontaminate against (skipped when None); ``sample_fraction``
-    None skips sampling."""
-    # counted stages MATERIALIZE: Datasets are lazy and count() does
-    # not cache, so counting an unmaterialized stage would re-execute
-    # everything upstream once per count (several redundant full
-    # corpus passes at scale). The materialized blocks hold only the
-    # surviving rows of each stage.
-    counts: dict[str, int] = {}
+    None skips sampling.
+
+    ``scale="web"`` flips the documented 100-TB configuration in one
+    flag (:data:`WEB_SCALE_PAIR_KWARGS`): hashed shingle exchange and
+    the ``max_posting`` stop-shingle guard for near-dup pair
+    generation. Output is identical to ``"standard"`` on any corpus
+    whose posting lists stay under the guard (asserted in
+    tests/test_corpus.py); above it, the dropped shingles are the
+    declared approximation.
+    """
+    if scale not in ("standard", "web"):
+        raise ValueError(f"scale must be 'standard' or 'web', got "
+                         f"{scale!r}")
+    pair_kwargs = dict(WEB_SCALE_PAIR_KWARGS) if scale == "web" else {}
+    acc = StageCounter.remote()
     ds = ray.data.read_parquet(doc_path)
     in_cols = list(ds.schema().names)  # caller columns ALL survive
-    counts["input"] = ds.count()
+    counts: dict[str, int] = {"input": ds.count()}  # parquet metadata
 
     # 1. quality gate (per-batch, no shuffle)
     ds = ds.map_batches(analyze_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b, kw=(gopher_kwargs or {}): gopher_rules_batch(b, **kw),
         batch_format="pyarrow").filter(expr="gopher_ok == True") \
-        .select_columns(in_cols).materialize()
-    counts["quality"] = ds.count()
+        .select_columns(in_cols) \
+        .map_batches(_counted(acc, "quality", id_col),
+                     batch_format="pyarrow")
 
     # 2. decontamination (broadcast set, per-batch filter)
     if bench is not None:
@@ -101,32 +177,47 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         ds = ds.map_batches(Decontaminator, fn_constructor_kwargs={
             "bench_ref": ref, "k": decontam_k}, batch_format="pyarrow",
             concurrency=(1, 8)).filter(expr="contaminated == False") \
-            .select_columns(in_cols).materialize()
-        counts["decontaminated"] = ds.count()
+            .select_columns(in_cols) \
+            .map_batches(_counted(acc, "decontaminated", id_col),
+                         batch_format="pyarrow")
 
-    # 3. exact dedup (one corpus shuffle by digest)
-    ds = exact_dedup_rows(ds).materialize()
-    counts["exact_dedup"] = ds.count()
+    # 3. exact dedup (one corpus shuffle by digest), then the ONE
+    # mid-pipeline materialization: near-dup consumes these rows twice
+    # (pair generation + canonical keep), so they must be stable. The
+    # quality/decontamination counters stream in during this pass.
+    ds = exact_dedup_rows(ds, id_col=id_col).materialize()
+    counts["exact_dedup"] = ds.count()  # block metadata, no pass
 
     # 4. near-dup cluster dedup (pairs -> components -> keep minimum)
     num, den = jaccard_threshold
-    pairs = ngram_jaccard_pairs(ds, threshold_num=num, threshold_den=den)
+    pairs = ngram_jaccard_pairs(ds, id_col=id_col, threshold_num=num,
+                                threshold_den=den, **pair_kwargs)
     comp = connected_components(pairs)
-    ds = keep_canonical(ds, comp).materialize()
-    counts["near_dedup"] = ds.count()
+    out = keep_canonical(ds, comp, id_col=id_col) \
+        .map_batches(_counted(acc, "near_dedup", id_col),
+                     batch_format="pyarrow")
 
     # 5. deterministic sample
     if sample_fraction is not None:
-        ds = hash_sample(ds, "doc_id", fraction=sample_fraction,
-                         seed=seed).materialize()
-        counts["sampled"] = ds.count()
+        out = hash_sample(out, id_col, fraction=sample_fraction,
+                          seed=seed) \
+            .map_batches(_counted(acc, "sampled", id_col),
+                         batch_format="pyarrow")
 
+    # the deliverable executes keep -> sample -> counters in one pass
+    out = out.materialize()
     if out_dir:
         from ..sinks import PARQUET_WRITE_OPTS
         from .fused import write_concurrency
         os.makedirs(out_dir, exist_ok=True)
         # cap writers: unlimited write tasks contend on a local disk
-        # (CLAUDE.md rule; measured 2x in fused.write_concurrency)
-        ds.write_parquet(out_dir, concurrency=write_concurrency(),
-                         **PARQUET_WRITE_OPTS)
-    return {"counts": counts, "dataset": ds}
+        # (CLAUDE.md rule; measured 2x in fused.write_concurrency);
+        # writing the materialized blocks recomputes nothing
+        out.write_parquet(out_dir, concurrency=write_concurrency(),
+                          **PARQUET_WRITE_OPTS)
+    totals = ray.get(acc.totals.remote())
+    order = ["input", "quality", "decontaminated", "exact_dedup",
+             "near_dedup", "sampled"]
+    counts.update(totals)
+    counts = {k: counts[k] for k in order if k in counts}
+    return {"counts": counts, "dataset": out}

@@ -64,3 +64,51 @@ def test_curate_corpus_end_to_end(ray_session, tmp_path):
     # written output matches the returned dataset
     back = pq.read_table(str(tmp_path / "out")).num_rows
     assert back == 29
+
+    # scale="web" (hashed shingles + posting guard) is output-identical
+    # below the guard thresholds — the one-flag 100-TB preset
+    web = curate_corpus(str(p), bench=bench, sample_fraction=1.0,
+                        gopher_kwargs={"min_words": 5,
+                                       "min_stop_hits": 2},
+                        jaccard_threshold=(9, 10), scale="web")
+    assert web["counts"] == c
+    assert sorted(web["dataset"].to_pandas()["doc_id"]) == \
+        sorted(out["doc_id"])
+
+
+def test_curate_corpus_near_dup_and_scale_validation(ray_session,
+                                                     tmp_path):
+    """Counts when near-dup clustering actually fires, on both scale
+    presets (single-pass counters must agree with the cluster keep)."""
+    import pyarrow.parquet as pq
+    from logagent_js_ray.pipelines.corpus import curate_corpus
+    base = ("the cat and the dog have that thing to be of note here "
+            "plus some more words to pass the length gate fine")
+    rows = []
+    for i in range(12):
+        rows.append({"doc_id": i,
+                     "text": base + " " + " ".join(
+                         f"u{i}v{j}" for j in range(12))})
+    # docs 20/21/22 are a 3-clique of near-identical texts (one token
+    # appended) -> one cluster, keep the minimum id only
+    nd = base + " " + " ".join(f"same{j}" for j in range(30))
+    for k, i in enumerate((20, 21, 22)):
+        rows.append({"doc_id": i, "text": nd + f" tail{k}"})
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    p = tmp_path / "docs2.parquet"
+    pq.write_table(t, str(p))
+    for scale in ("standard", "web"):
+        # threshold 2/3: every doc shares the `base` prefix (~0.47
+        # jaccard pairwise) — only the planted clique (~0.93) clusters
+        res = curate_corpus(str(p), gopher_kwargs={"min_words": 5,
+                                                   "min_stop_hits": 2},
+                            jaccard_threshold=(2, 3), scale=scale)
+        c = res["counts"]
+        assert c["input"] == 15
+        assert c["exact_dedup"] == 15
+        assert c["near_dedup"] == 13, scale  # 21, 22 dropped
+        ids = sorted(res["dataset"].to_pandas()["doc_id"])
+        assert 20 in ids and 21 not in ids and 22 not in ids
+    import pytest
+    with pytest.raises(ValueError):
+        curate_corpus(str(p), scale="planet")
