@@ -199,6 +199,38 @@ def heroku_router_parse(batch: pa.Table,
     return out.append_column("json_body", pa.array(json_body, pa.string()))
 
 
+def vercel_verify_signature(body, signature, secrets) -> bool | None:
+    """Vercel webhook HMAC-SHA1 signature verification
+    (/root/reference/lib/plugins/input/vercel.js:117-128, spec-tested
+    in the reference's test/vercel/vercelSignature.spec.js): the hex
+    HMAC-SHA1 of the raw body under ANY configured client secret must
+    equal the ``x-zeit-signature`` header. Returns None when
+    ``secrets`` is not a list (the reference returns undefined), else
+    the any-secret-matches boolean."""
+    import hashlib
+    import hmac as _hmac
+    if not isinstance(secrets, list):
+        return None
+    raw = body.encode() if isinstance(body, str) else (body or b"")
+    return any(
+        _hmac.new((s.encode() if isinstance(s, str) else s), raw,
+                  hashlib.sha1).hexdigest() == signature
+        for s in secrets)
+
+
+def vercel_signature_batch(batch: pa.Table, secrets,
+                           body_col: str = "body",
+                           sig_col: str = "x_zeit_signature",
+                           out_col: str = "sig_verified") -> pa.Table:
+    """Per-row signature gate column over webhook (body, signature)
+    pairs; None secrets-config yields an all-null column."""
+    bodies = batch[body_col].to_pylist()
+    sigs = batch[sig_col].to_pylist()
+    flags = [vercel_verify_signature(b, s, secrets)
+             for b, s in zip(bodies, sigs)]
+    return batch.append_column(out_col, pa.array(flags, pa.bool_()))
+
+
 _VERCEL_REPORT_RE = re.compile(
     r"Duration: (?P<dur>[\d.]+) ms\s+Billed Duration: (?P<billed>[\d.]+) ms"
     r"\s+Memory Size: (?P<mem>\d+) MB\s+Max Memory Used: (?P<used>\d+) MB"

@@ -134,3 +134,32 @@ def test_device_detector_ios_before_macos():
     out = DeviceDetector()(pa.table({"user_agent": uas}))
     # every iPhone UA contains 'like Mac OS X': iOS must win
     assert out["ua_os"].to_pylist() == ["iOS", "macOS"]
+
+
+def test_vercel_verify_signature_known_answers():
+    """Known-answer vectors lifted from the reference's OWN spec
+    (test/vercel/vercelSignature.spec.js): secret
+    'idmnMEd7Yx4QmgzZpZ4axXoe', body JSON.stringify({id:1,message:'1'}),
+    HMAC-SHA1 hex ec20b54c03db09dffd39fe1465a6a7a4bc34bfc3."""
+    import pyarrow as pa
+    from logagent_js_ray.stages.formats import (vercel_signature_batch,
+                                                vercel_verify_signature)
+    secret = "idmnMEd7Yx4QmgzZpZ4axXoe"
+    body = '{"id":1,"message":"1"}'
+    sig = "ec20b54c03db09dffd39fe1465a6a7a4bc34bfc3"
+    # two secrets / one secret / many-with-one-valid (spec cases)
+    assert vercel_verify_signature(body, sig, [secret, secret]) is True
+    assert vercel_verify_signature(body, sig, [secret]) is True
+    assert vercel_verify_signature(
+        body, sig, [secret, "kjsdfakslf", "aslsadslkjdkld"]) is True
+    # wrong-secret-only array -> False; non-array config -> None
+    # (the reference returns undefined, js:109-115)
+    assert vercel_verify_signature(body, sig, ["nope"]) is False
+    assert vercel_verify_signature(body, sig, "not-an-array") is None
+    # bytes body == str body (the reference hashes the raw buffer)
+    assert vercel_verify_signature(body.encode(), sig, [secret]) is True
+    out = vercel_signature_batch(pa.table({
+        "body": pa.array([body, body], pa.string()),
+        "x_zeit_signature": pa.array([sig, "bad"], pa.string()),
+    }), [secret])
+    assert out["sig_verified"].to_pylist() == [True, False]
