@@ -13,3 +13,17 @@ def e6_round_half_away(x) -> np.ndarray:
     oracle and the dedup threshold all share this one function."""
     v = np.asarray(x, np.float64) * 1e6
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def scorer_pool() -> tuple:
+    """Autoscaling actor-pool bounds for stateful scorer stages,
+    derived from the SESSION's CPUs (round-3 verdict item #6: a fixed
+    ``(2, 8)`` cap left 3/4 of a 32-CPU box idle on the kNN row, while
+    2 mandatory actors waste startup on tiny inputs). Min 1 keeps
+    unions of several pools deadlock-free on small sessions
+    (CLAUDE.md) and lets Ray skip spinning actors nobody needs; the
+    max tracks the box."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (1, max(8, cpus))

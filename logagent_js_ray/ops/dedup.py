@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.aggregate import tree_merge
+from . import scorer_pool
 
 # ---------------------------------------------------------------- exact
 
@@ -165,7 +166,7 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
 def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
-                      concurrency=(2, 8)) -> "ray.data.Dataset":
+                      concurrency=None) -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     shingle -> minhash (actor pool) -> band explode -> groupby(band,
@@ -178,7 +179,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     coarse = 64
     sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "num_perm": num_perm}, batch_format="pyarrow",
-        concurrency=concurrency)
+        concurrency=concurrency or scorer_pool())
     banded = sigged.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band, id_col, coarse),
         batch_format="pyarrow")
@@ -306,7 +307,7 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
                   max_hamming: int = 3,
-                  concurrency=(2, 8)) -> "ray.data.Dataset":
+                  concurrency=None) -> "ray.data.Dataset":
     """Near-dup pairs by simhash band blocking with the band count tied
     to the threshold: two 64-bit hashes within hamming distance d differ
     in at most d bands, so splitting into ``d + 1`` bands guarantees
@@ -314,7 +315,7 @@ def simhash_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     layout silently lost recall for any max_hamming > 3. Hamming is
     verified exactly inside each bucket."""
     hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
-                            concurrency=concurrency)
+                            concurrency=concurrency or scorer_pool())
 
     coarse = 64
     n_bands = min(max(2, max_hamming + 1), 32)
@@ -649,7 +650,7 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", id_col: str = "vec_id",
                      "id_col": id_col, "vec_col": vec_col,
                      "n_planes": n_planes, "n_tables": n_tables,
                      "n_coarse": n_coarse, "seed": seed},
-                 batch_format="pyarrow", concurrency=(2, 8))
+                 batch_format="pyarrow", concurrency=scorer_pool())
              .groupby("coarse")
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several tables: dedup via tree merge
@@ -881,4 +882,5 @@ def keep_canonical(docs: "ray.data.Dataset",
             return b.filter(pa.array(keep))
 
     return docs.map_batches(Keeper, fn_constructor_kwargs={
-        "lookup_ref": ref}, batch_format="pyarrow", concurrency=(1, 8))
+        "lookup_ref": ref}, batch_format="pyarrow",
+        concurrency=scorer_pool())

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from . import scorer_pool
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -70,7 +72,7 @@ class BruteForceScorer:
 
 def topk_cosine(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency=(2, 8)) -> pd.DataFrame:
+                concurrency=None) -> pd.DataFrame:
     """Global top-k per query: per-batch partial top-k, merged on the
     driver (the merge input is ~k × n_blocks rows, never the corpus).
     Deterministic tiebreak: (-cosine, id)."""
@@ -79,7 +81,8 @@ def topk_cosine(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
         BruteForceScorer,
         fn_constructor_kwargs={"query_ref": ref, "k": k,
                                "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+        concurrency=concurrency or scorer_pool())
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_idx"):
@@ -152,14 +155,15 @@ class LSHIndexScorer:
 def topk_cosine_lsh(ds: "ray.data.Dataset", query_vecs: np.ndarray,
                     k: int = 10, n_planes: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    concurrency=(2, 8)) -> pd.DataFrame:
+                    concurrency=None) -> pd.DataFrame:
     ref = ray.put(np.asarray(query_vecs, np.float64))
     partials = ds.map_batches(
         LSHIndexScorer,
         fn_constructor_kwargs={"query_ref": ref, "k": k,
                                "n_planes": n_planes, "id_col": id_col,
                                "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+        concurrency=concurrency or scorer_pool())
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_idx"):
@@ -259,7 +263,7 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", query_vecs: np.ndarray,
                     k: int = 10, n_lists: int = 16, nprobe: int = 4,
                     centroids: np.ndarray | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    concurrency=(2, 8)) -> pd.DataFrame:
+                    concurrency=None) -> pd.DataFrame:
     """IVF-Flat ANN without a prebuilt index: assign + probe-filter at
     scan time. Same partial-top-k merge shape as topk_cosine."""
     if centroids is None:
@@ -272,7 +276,8 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", query_vecs: np.ndarray,
         fn_constructor_kwargs={"query_ref": q_ref, "centroids_ref": c_ref,
                                "k": k, "nprobe": nprobe, "id_col": id_col,
                                "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+        concurrency=concurrency or scorer_pool())
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_idx"):
@@ -313,7 +318,7 @@ def topk_cosine_ivf_index(index_dir: str, query_vecs: np.ndarray,
                           centroids: np.ndarray, k: int = 10,
                           nprobe: int = 4, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          concurrency=(2, 8)) -> pd.DataFrame:
+                          concurrency=None) -> pd.DataFrame:
     """Query a prebuilt IVF index: compute the probe lists on the
     driver, read ONLY those partitions, brute-force within them."""
     import pyarrow.dataset as pads

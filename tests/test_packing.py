@@ -55,3 +55,39 @@ def test_window_stats(ray_session):
     assert s["n"].sum() == 50
     assert s["sum_n_tokens_ws"].sum() == 250
     assert (s.groupby("bucket")["window"].max() == 6).all()
+
+
+def test_pack_and_group_stats_matches_composition(ray_session):
+    """Fused single-shuffle stats == pack_concat_chunk + window_stats
+    + a separate key aggregation (round-3 verdict item #8)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from logagent_js_ray.ops.packing import (pack_and_group_stats,
+                                             pack_concat_chunk,
+                                             window_stats)
+    rng = np.random.default_rng(5)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(n)]),
+        "n_tokens_ws": pa.array(rng.integers(1, 200, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    fused = pack_and_group_stats(ds, budget=128, num_buckets=4) \
+        .to_pandas().sort_values(["which", "key"]).reset_index(drop=True)
+    packed = pack_concat_chunk(ray.data.from_arrow(t), budget=128,
+                               num_buckets=4)
+    w = window_stats(packed).to_pandas()
+    w["key"] = w["bucket"].astype(str) + ":" + w["window"].astype(str)
+    w.insert(0, "which", "pack")
+    df = t.to_pandas()
+    lg = df.groupby("lang", as_index=False).agg(
+        n=("doc_id", "size"), sum_n_tokens_ws=("n_tokens_ws", "sum"))
+    lg = lg.rename(columns={"lang": "key"})
+    lg.insert(0, "which", "lang")
+    want = pd.concat([w[["which", "key", "n", "sum_n_tokens_ws"]], lg],
+                     ignore_index=True).sort_values(["which", "key"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, want, check_dtype=False)
