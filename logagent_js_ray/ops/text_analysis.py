@@ -164,6 +164,97 @@ def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
     return out.append_column("gopher_ok", pa.array(ok))
 
 
+# --- Gopher/RefinedWeb repetition signals --------------------------------
+
+
+def repetition_signals_batch(batch: pa.Table, text_col: str = "text",
+                             top_ks: tuple = (2, 3, 4),
+                             dup_ks: tuple = (5, 6, 7, 8, 9, 10)
+                             ) -> pa.Table:
+    """The full Gopher repetition-signal suite (Rae et al. 2021 table
+    A1; the RefinedWeb/Dolma filters reuse the same family). Per doc,
+    all micro-scaled to int64 for SQL-exact compare:
+
+    - ``top{k}gram_char_frac_e6`` for k in ``top_ks``: characters
+      covered by the MOST frequent word-k-gram, ``count * len(gram) /
+      len(text)`` (Gopher's "fraction of characters contained within
+      the most frequently-occurring n-gram"). Ties break
+      deterministically to the lexicographically-smallest joined gram
+      (codepoint order — the same order DuckDB's binary VARCHAR
+      min/ORDER BY uses, so the oracle picks the identical gram).
+    - ``dup{k}gram_char_frac_e6`` for k in ``dup_ks``: EXCESS
+      characters in repeated k-grams, ``sum over grams with count>=2
+      of (count-1)*len(gram) / len(text)``. This is the deterministic
+      closed-form variant of Gopher's "fraction of characters inside
+      duplicate n-grams": the paper's span-marking coverage is
+      scan-order- and overlap-dependent, while the excess-count is a
+      pure function of the gram histogram (mergeable, SQL-expressible)
+      and upper-bounds it — documented deviation.
+    - ``dup_line_frac_e6`` / ``dup_line_char_frac_e6`` /
+      ``dup_para_frac_e6``: duplicate-line fraction (1 -
+      distinct/total over ``\\n``-split lines), excess characters in
+      repeated lines over total text chars, and the same line fraction
+      over ``\\n\\n``-split paragraphs.
+
+    Tokenizer is the repo-wide single-space split (see
+    gopher_rules_batch). Grams are counted as joined strings (the same
+    gram identity as the oracle's ``array_to_string(w[s:s+k-1], ' ')``)
+    — one split and O(words * k) hashed chars per doc per k, the same
+    cost class as the shingle stages. Docs shorter than k words (or
+    empty) score 0 for that k.
+    """
+    from collections import Counter
+
+    from . import e6_round_half_away
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    top_frac = {k: np.zeros(n, np.float64) for k in top_ks}
+    dup_frac = {k: np.zeros(n, np.float64) for k in dup_ks}
+    line_frac = np.zeros(n, np.float64)
+    line_char_frac = np.zeros(n, np.float64)
+    para_frac = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split(" ")
+        tlen = len(t)
+        for k in (*top_ks, *dup_ks):
+            if len(toks) < k:
+                continue
+            # joined-string keys: identical to the oracle's
+            # array_to_string(w[s:s+k-1], ' ') gram identity
+            cnt = Counter(" ".join(toks[j:j + k])
+                          for j in range(len(toks) - k + 1))
+            if k in top_frac:
+                best = max(cnt.values())
+                gram = min(g for g, c in cnt.items() if c == best)
+                top_frac[k][i] = best * len(gram) / tlen
+            if k in dup_frac:
+                excess = sum((c - 1) * len(g)
+                             for g, c in cnt.items() if c >= 2)
+                dup_frac[k][i] = excess / tlen
+        lines = t.split("\n")
+        lc = Counter(lines)
+        line_frac[i] = 1.0 - len(lc) / len(lines)
+        line_char_frac[i] = sum((c - 1) * len(ln)
+                                for ln, c in lc.items() if c >= 2) / tlen
+        paras = t.split("\n\n")
+        para_frac[i] = 1.0 - len(set(paras)) / len(paras)
+    out = batch
+    for k in top_ks:
+        out = out.append_column(f"top{k}gram_char_frac_e6",
+                                pa.array(e6_round_half_away(top_frac[k])))
+    for k in dup_ks:
+        out = out.append_column(f"dup{k}gram_char_frac_e6",
+                                pa.array(e6_round_half_away(dup_frac[k])))
+    out = out.append_column("dup_line_frac_e6",
+                            pa.array(e6_round_half_away(line_frac)))
+    out = out.append_column("dup_line_char_frac_e6",
+                            pa.array(e6_round_half_away(line_char_frac)))
+    return out.append_column("dup_para_frac_e6",
+                             pa.array(e6_round_half_away(para_frac)))
+
+
 # --- benchmark decontamination -----------------------------------------
 
 
