@@ -272,3 +272,107 @@ def test_mmdb_reader_matches_inserted_networks(tmp_path_factory, nets,
     assert list(t["end"]) == [e for _s, e, _p in chosen]
     assert list(t["country"]) == [f"C{j % 50}" for j in range(len(chosen))]
     assert np.array_equal(t["lat"], np.arange(len(chosen), dtype=float))
+
+
+# --- corpus-cleaning operator invariants (ops/cleaning.py) -------------
+
+# broad unicode text, but without the literal redaction tokens ('<' is
+# excluded) so token-counting assertions are exact
+NO_ANGLE = st.text(
+    alphabet=st.characters(blacklist_characters="<",
+                           blacklist_categories=("Cs",)),
+    max_size=120)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(NO_ANGLE, min_size=1, max_size=8))
+def test_pii_redaction_token_counts_match(texts):
+    from logagent_js_ray.ops.cleaning import pii_redact_batch
+    out = pii_redact_batch(pa.table({"text": pa.array(texts,
+                                                      pa.string())}))
+    red = out["text_redacted"].to_pylist()
+    for i in range(len(texts)):
+        assert (out["n_pii"][i].as_py()
+                == out["n_email"][i].as_py() + out["n_ipv4"][i].as_py()
+                + out["n_phone"][i].as_py())
+        # the input cannot contain '<', so every token in the output
+        # was produced by exactly one counted replacement
+        assert red[i].count("<EMAIL>") == out["n_email"][i].as_py()
+        assert red[i].count("<IP>") == out["n_ipv4"][i].as_py()
+        assert red[i].count("<PHONE>") == out["n_phone"][i].as_py()
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.text(max_size=120), min_size=1, max_size=8))
+def test_normalize_is_idempotent(texts):
+    from logagent_js_ray.ops.cleaning import normalize_text_batch
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    once = normalize_text_batch(t)
+    twice = normalize_text_batch(
+        pa.table({"text": once["text_norm"]}))
+    assert (once["text_norm"].to_pylist()
+            == twice["text_norm"].to_pylist())
+    for i, s in enumerate(once["text_norm"].to_pylist()):
+        # collapse+trim postconditions
+        assert "  " not in s and "\t" not in s and "\n" not in s
+        assert not s.startswith(" ") and not s.endswith(" ")
+        assert once["n_chars_norm"][i].as_py() == len(s)
+
+
+LINE_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(line_lists=st.lists(st.lists(LINE_TEXT, max_size=8),
+                           min_size=1, max_size=5))
+def test_c4_line_filter_is_idempotent_and_sound(line_lists):
+    from logagent_js_ray.ops.cleaning import c4_clean_batch
+    texts = ["\n".join(ls) for ls in line_lists]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    once = c4_clean_batch(t)
+    for i, ls in enumerate(line_lists):
+        clean = once["text_clean"][i].as_py()
+        kept = clean.split("\n") if clean else []
+        assert len(kept) == once["n_lines_kept"][i].as_py()
+        # soundness: every kept line satisfies the three line rules
+        for ln in kept:
+            assert ln.endswith(('.', '!', '?', '"'))
+            assert len(ln.split(" ")) >= 3
+            assert "javascript" not in ln.lower()
+        # kept is a subsequence of the original lines
+        it = iter(ls)
+        assert all(any(ln == orig for orig in it) for ln in kept)
+    # idempotence: re-cleaning the cleaned text keeps every line
+    twice = c4_clean_batch(pa.table({"text": once["text_clean"]}))
+    assert (twice["text_clean"].to_pylist()
+            == once["text_clean"].to_pylist())
+    assert (twice["n_lines_kept"].to_pylist()
+            == once["n_lines_kept"].to_pylist())
+
+
+@settings(max_examples=150, deadline=None)
+@given(words=st.lists(st.from_regex(r"[a-c]{1,3}", fullmatch=True),
+                      min_size=1, max_size=30))
+def test_repetition_signals_reference_impl(words):
+    from logagent_js_ray.ops.text_analysis import repetition_signals_batch
+    text = " ".join(words)
+    out = repetition_signals_batch(pa.table({"text": [text]}),
+                                   top_ks=(2,), dup_ks=(3,))
+    # independent reference computation
+    from collections import Counter
+    tlen = len(text)
+    c2 = Counter(" ".join(words[j:j + 2]) for j in range(len(words) - 1))
+    if c2:
+        best = max(c2.values())
+        gram = min(g for g, c in c2.items() if c == best)
+        want_top = round(1e6 * best * len(gram) / tlen)
+    else:
+        want_top = 0
+    c3 = Counter(" ".join(words[j:j + 3]) for j in range(len(words) - 2))
+    want_dup = round(1e6 * sum((c - 1) * len(g)
+                               for g, c in c3.items() if c >= 2) / tlen)
+    assert out["top2gram_char_frac_e6"].to_pylist() == [want_top]
+    assert out["dup3gram_char_frac_e6"].to_pylist() == [want_dup]
+    assert out["dup_para_frac_e6"].to_pylist() == [0]
