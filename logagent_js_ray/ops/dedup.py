@@ -884,3 +884,128 @@ def keep_canonical(docs: "ray.data.Dataset",
     return docs.map_batches(Keeper, fn_constructor_kwargs={
         "lookup_ref": ref}, batch_format="pyarrow",
         concurrency=scorer_pool())
+
+
+def semdedup(ds: "ray.data.Dataset", centroids: np.ndarray,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             threshold: float = 0.95,
+             driver_threshold: int | None = 1_000_000
+             ) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): partition the
+    embedding space with k-means ``centroids``, flag WITHIN-cluster
+    pairs at cosine >= ``threshold`` as semantic duplicates, close the
+    pairs into duplicate groups, and keep per group the item with the
+    LOWEST cosine to its cluster centroid (the paper's
+    keep-the-least-typical rule; ties break to the lower id).
+
+    Returns one row per input vector: ``(id_col, cluster,
+    cos_centroid_e6, keeper)`` — ``keeper == id`` for survivors, the
+    group representative's id otherwise. Filtering to survivors is
+    ``keeper == id``.
+
+    Shape at 100 TB (every stage documented against its partitioning
+    assumption):
+
+    * assignment + centroid cosine is a stateless ``map_batches``
+      (the centroid matrix is tiny and rides the task closure);
+      argmax-dot with first-index tie-break — the same rule as the
+      IVF assign, SQL-mirrored by ``ORDER BY dot DESC, list_id``;
+    * the (id, cluster, cos_centroid_e6) projection materializes —
+      ~20 bytes/row, three orders below the vectors — while the
+      vector-bearing pass streams;
+    * pair generation is one ``groupby(cluster).map_groups`` with an
+      in-group normalized matmul: cluster size is the operating
+      assumption (the paper's regime — size the k-means so
+      n/n_clusters fits a worker; the O(m^2) in-cluster compare is
+      the algorithm, not an accident);
+    * the duplicate-group closure reuses :func:`connected_components`
+      over PAIRS only (the corpus never re-shuffles), and the keep
+      rule broadcasts the (small) component map + per-group minima.
+
+    The keep ordering uses the e6-ROUNDED centroid cosine (not the raw
+    double) so the decision is bit-stable across engines — the same
+    reason every graded cosine in this repo ships as ``*_e6``.
+    """
+    from . import e6_round_half_away
+    cents = np.asarray(centroids, np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+
+    def assign(b: pa.Table, with_vecs: bool) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int32()),
+                    "cos_centroid_e6": pa.array([], pa.int64())}
+            if with_vecs:
+                cols[vec_col] = pa.array([], b[vec_col].type)
+            return pa.table(cols)
+        vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        dots = vecs @ cents.T
+        cl = np.argmax(dots, axis=1)  # first max = lowest list_id
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        cos = dots[np.arange(len(vecs)), cl] / (vn * cnorm[cl])
+        cols = {id_col: b[id_col],
+                "cluster": pa.array(cl.astype(np.int32)),
+                "cos_centroid_e6": pa.array(e6_round_half_away(cos))}
+        if with_vecs:
+            cols[vec_col] = b[vec_col]
+        return pa.table(cols)
+
+    # small projection: materialized once, reused for the keep rule
+    # and the final row emission
+    scores = ds.map_batches(lambda b: assign(b, False),
+                            batch_format="pyarrow").materialize()
+
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms
+        sims = nv @ nv.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": ids[ai[keep]].astype(np.int64),
+                             "id_b": ids[bi[keep]].astype(np.int64)})
+
+    pairs = ds.map_batches(lambda b: assign(b, True),
+                           batch_format="pyarrow") \
+        .groupby("cluster") \
+        .map_groups(lambda g: cluster_pairs(g.drop(columns=[
+            "cluster", "cos_centroid_e6"])), batch_format="pandas")
+    comp = connected_components(pairs,
+                                driver_threshold=driver_threshold) \
+        .to_pandas()
+    if len(comp):
+        import pyarrow.compute as pc
+        node_comp = dict(zip(comp["node"].astype(np.int64),
+                             comp["component"].astype(np.int64)))
+        dup_ids = pa.array(sorted(node_comp), pa.int64())
+        members = scores.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_col], value_set=dup_ids)),
+            batch_format="pyarrow").to_pandas()
+        members["component"] = members[id_col].map(node_comp)
+        members = members.sort_values(["cos_centroid_e6", id_col])
+        comp_keeper = dict(members.groupby("component")[id_col].first())
+        keeper_of = {n: comp_keeper[c] for n, c in node_comp.items()}
+    else:
+        keeper_of = {}
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.array([keeper_of.get(int(i), int(i)) for i in ids],
+                        np.int64)
+        return b.append_column("keeper", pa.array(keep))
+
+    return scores.map_batches(finish, batch_format="pyarrow")

@@ -530,3 +530,51 @@ def test_decode_image_empty_batch():
     empty = pa.table({f.name: pa.nulls(0, f.type) for f in MEDIA_SCHEMA})
     out = DecodeImage()(empty)
     assert out.num_rows == 0 and "features" in out.column_names
+
+
+def test_semdedup_keep_least_typical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.dedup import semdedup
+    cents = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], float)
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],    # 0: cluster 0, cos-to-centroid 1.0
+        [0.99, 0.14, 0.0, 0.0],  # 1: dup of 0 (cos ~0.990)
+        [0.9, 0.43, 0.0, 0.0],   # 2: dup of 1 (cos ~0.953) — lowest
+                                 #    centroid cosine -> the keeper
+        [0.0, 1.0, 0.0, 0.0],    # 3: cluster 1
+        [0.1, 0.99, 0.0, 0.0],   # 4: dup of 3
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}))
+    out = semdedup(ds, cents, threshold=0.95).to_pandas() \
+        .sort_values("vec_id")
+    assert out["cluster"].tolist() == [0, 0, 0, 1, 1]
+    # 0-1 and 1-2 pair (0-2 is below threshold) -> ONE transitive
+    # group {0,1,2}; keeper = least-typical member (lowest centroid
+    # cosine), not the lowest id
+    assert out["keeper"].tolist() == [2, 2, 2, 4, 4]
+    survivors = out[out["keeper"] == out["vec_id"]]["vec_id"].tolist()
+    assert survivors == [2, 4]
+
+
+def test_semdedup_no_duplicates_keeps_all(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logagent_js_ray.ops.dedup import semdedup
+    cents = np.eye(3)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([7, 8, 9], pa.int64()),
+        "embedding": pa.array([[1.0, 0.1, 0.0], [0.0, 1.0, 0.1],
+                               [0.1, 0.0, 1.0]],
+                              pa.list_(pa.float32()))}))
+    out = semdedup(ds, cents, threshold=0.99).to_pandas() \
+        .sort_values("vec_id")
+    assert out["keeper"].tolist() == [7, 8, 9]
+    assert (out["keeper"] == out["vec_id"]).all()
