@@ -1,0 +1,201 @@
+"""ExactSubstr deduplication (Lee et al. 2021, "Deduplicating Training
+Data Makes Language Models Better"): remove from every document each
+maximal character span of length >= ``min_len`` that occurs at least
+twice anywhere in the corpus (including twice within one document).
+
+Window formulation (equivalent to the paper's suffix-array semantics):
+a duplicated substring of length >= L is exactly a union of duplicated
+L-character windows, so
+  1. hash every L-char window (stride 1) of every document,
+  2. mark windows whose hash occurs >= 2 times corpus-wide,
+  3. per document, merge the marked window starts into maximal spans
+     (equal-length intervals: same span while next_start - prev_start
+     <= L) and cut those spans out of the text.
+
+Scale design (100 TB):
+  * the window stream is the honest cost of the algorithm — one
+    fixed-width row (8-byte hash + id + int32 offset) per character,
+    the same O(total chars) the paper's suffix array pays. Only hashes
+    ever move; texts are never exploded.
+  * TWO all-to-alls total: window rows shuffle once by hash coarse
+    bucket (duplicate detection is a vectorized per-group count —
+    no global distinct set is ever built or broadcast), and the
+    marked starts co-partition with the documents once by doc coarse
+    bucket (span merge + cut is per-group numpy, the asof_join union
+    pattern from ops/joins.py).
+  * hashing is a position-independent uint64 polynomial rolling hash
+    over one concatenated per-batch char buffer (utf-32 codepoints, so
+    offsets are CHARACTER offsets — the cross-engine contract with the
+    oracle's ``substr``), vectorized with cumulative sums/products and
+    a doc-boundary validity mask: no per-character Python. Collisions
+    are a declared 2^-64-per-pair approximation (the hashed_shingles
+    precedent in ops/dedup.py); the DuckDB oracle groups the true
+    substrings, so a collision would fail the value hash loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.aggregate import coarse_bucket_array
+
+# Odd multiplier (FNV-1a prime) -> invertible mod 2^64, so the rolling
+# hash can divide out the position factor and window hashes of equal
+# substrings are equal regardless of buffer position.
+_B = np.uint64(0x100000001B3)
+_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _pows(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] mod 2^64, vectorized."""
+    out = np.full(n, base, np.uint64)
+    out[0] = np.uint64(1)
+    return np.multiply.accumulate(out)
+
+
+def _window_rows(batch: pa.Table, id_col: str, text_col: str,
+                 min_len: int, num_buckets: int) -> pa.Table:
+    """(hash, id, start, coarse) for every L-char window of the batch."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    lens = np.array([len(t or "") for t in texts], np.int64)
+    if int(lens.sum()) == 0:
+        return pa.table({"h": pa.array([], pa.uint64()),
+                         id_col: pa.array([], batch[id_col].type),
+                         "s": pa.array([], pa.int32()),
+                         "coarse": pa.array([], pa.int32())})
+    # one concatenated codepoint buffer; utf-32-le gives one uint32 per
+    # CHARACTER so window offsets match the oracle's substr() positions
+    buf = np.frombuffer("".join(t or "" for t in texts)
+                        .encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = buf.shape[0]
+    starts = np.repeat(np.cumsum(lens) - lens, lens)   # doc start offset
+    doc_ix = np.repeat(np.arange(lens.shape[0]), lens)
+    # H_i = sum_{k=i}^{i+L-1} c[k] * B^(i+L-1-k)  (position-independent)
+    #     = (P[i+L] - P[i]) * B^(i+L-1)  with  P = cumsum(c * B^-i)
+    binv = _pows(_BINV, n)
+    bpow = _pows(_B, n)
+    p = np.zeros(n + 1, np.uint64)
+    np.cumsum(buf * binv, out=p[1:])
+    m = n - min_len + 1
+    if m <= 0:
+        return pa.table({"h": pa.array([], pa.uint64()),
+                         id_col: pa.array([], batch[id_col].type),
+                         "s": pa.array([], pa.int32()),
+                         "coarse": pa.array([], pa.int32())})
+    h = (p[min_len:] - p[:m]) * bpow[min_len - 1:]
+    # window [i, i+L) is real only when it stays inside one document
+    valid = doc_ix[:m] == doc_ix[min_len - 1:]
+    h = h[valid]
+    row_ix = doc_ix[:m][valid]
+    s = (np.arange(m)[valid] - starts[:m][valid]).astype(np.int32)
+    coarse = (((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+              % np.uint64(num_buckets)).astype(np.int32)
+    return pa.table({"h": pa.array(h),
+                     id_col: pa.array(ids[row_ix], batch[id_col].type),
+                     "s": pa.array(s),
+                     "coarse": pa.array(coarse)})
+
+
+def _merge_spans(s: np.ndarray, min_len: int) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    """Merge sorted window starts into maximal [st, en) spans.
+
+    Equal-length intervals: the union stays contiguous while
+    next_start - prev_start <= L (overlap or exact adjacency) — the
+    same island rule as the oracle's lag() comparison."""
+    brk = np.flatnonzero(np.diff(s) > min_len) + 1
+    st = s[np.concatenate(([0], brk))]
+    en = s[np.concatenate((brk - 1, [s.shape[0] - 1]))] + min_len
+    return st, en
+
+
+def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", min_len: int = 30,
+                       num_buckets: int = 64,
+                       doc_buckets: int = 32) -> "ray.data.Dataset":
+    """Corpus-wide duplicate-substring removal. Returns one row per
+    input document: (id, text_clean, n_spans, removed_chars)."""
+
+    windows = ds.map_batches(
+        _window_rows, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "min_len": min_len, "num_buckets": num_buckets})
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized duplicate detection inside one hash-coarse group:
+        # a window survives iff its exact hash occurs >= 2 times
+        h = g["h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        keep = cnt[inv] >= 2
+        return g.loc[keep, [id_col, "s"]]
+
+    marked = windows.groupby("coarse").map_groups(
+        dup_positions, batch_format="pandas")
+
+    # co-partition marked starts with the documents by id bucket
+    # (ops/joins.py union pattern), then per-doc span merge + cut
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "s": pa.array(np.full(b.num_rows, -1, np.int32)),
+            text_col: b[text_col],
+            "_b": pa.array(coarse_bucket_array(b[id_col], doc_buckets))})
+
+    def tag_marks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "s": b["s"],
+            text_col: pa.array([None] * b.num_rows, pa.string()),
+            "_b": pa.array(coarse_bucket_array(b[id_col], doc_buckets))})
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        marked.map_batches(tag_marks, batch_format="pyarrow"))
+
+    def cut_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "s"], kind="stable")
+        is_doc = g["s"].to_numpy() == -1
+        docs = g[is_doc]
+        ids = docs[id_col].to_numpy()
+        texts = docs[text_col].to_numpy()
+        mk = g[~is_doc]
+        out_text, out_spans, out_removed = [], [], []
+        spans_by_doc = {}
+        if len(mk):
+            mids = mk[id_col].to_numpy()
+            mss = mk["s"].to_numpy()
+            cutp = np.flatnonzero(mids[1:] != mids[:-1]) + 1
+            for did, ss in zip(mids[np.concatenate(([0], cutp))],
+                               np.split(mss, cutp)):
+                spans_by_doc[did] = _merge_spans(ss, min_len)
+        for did, text in zip(ids, texts):
+            text = text or ""
+            sp = spans_by_doc.get(did)
+            if sp is None:
+                out_text.append(text)
+                out_spans.append(0)
+                out_removed.append(0)
+                continue
+            st, en = sp
+            segs = []
+            prev = 0
+            for a, b2 in zip(st.tolist(), en.tolist()):
+                if a > prev:
+                    segs.append(text[prev:a])
+                prev = b2
+            if prev < len(text):
+                segs.append(text[prev:])
+            out_text.append("".join(segs))
+            out_spans.append(int(st.shape[0]))
+            out_removed.append(int((en - st).sum()))
+        return pd.DataFrame({
+            id_col: ids, "text_clean": out_text,
+            "n_spans": np.array(out_spans, np.int64),
+            "removed_chars": np.array(out_removed, np.int64)})
+
+    return both.groupby("_b").map_groups(cut_spans, batch_format="pandas")
