@@ -654,6 +654,63 @@ def ensure_ann(root: str | None = None, sf_dir: str | None = None,
     return out_dir
 
 
+DSIR_GEN_VERSION = 1
+
+
+def ensure_dsir(root: str | None = None, sf_dir: str | None = None,
+                force: bool = False) -> str:
+    """Pinned DSIR hashed-gram weight table for the d_fingerprint
+    'dsir' rows: one parquet ``dsir/weights.parquet`` with a row per
+    bucket 0..4095, w = integer milli-nat log importance ratio of the
+    src0 (target) gram distribution over the full-corpus (raw) one.
+
+    SCALAR reimplementation independent of the Ray operators (the
+    mm_pipeline / sig_pairs precedent): single-space tokenizer,
+    unigrams + bigrams, bucket = first 3 md5 hex chars, add-1
+    smoothing, round(1000 * ln ratio) with math.log — the live
+    ops/importance pipeline must reproduce these exact integers and
+    the SQL oracle joins this table, so any drift in hashing, counting
+    or smoothing fails the value hash. Data-derived; pinned to the
+    driver's sf0.01 grading scale (ANN fixture precedent)."""
+    import hashlib
+    import math
+    root = root or FIXTURE_ROOT
+    sf_dir = sf_dir or ANN_PIN_SF_DIR
+    out_dir = os.path.join(os.path.abspath(root), "dsir")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={DSIR_GEN_VERSION}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "source"])
+    n_b = 4096
+    t_cnt = [0] * n_b
+    r_cnt = [0] * n_b
+    for text, source in zip(docs["text"].to_pylist(),
+                            docs["source"].to_pylist()):
+        w = (text or "").split(" ")
+        grams = w + [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+            r_cnt[b] += 1
+            if source == "src0":
+                t_cnt[b] += 1
+    t_tot = sum(t_cnt) + n_b
+    r_tot = sum(r_cnt) + n_b
+    ws = [round(1000 * (math.log(t + 1) - math.log(t_tot)
+                        - math.log(r + 1) + math.log(r_tot)))
+          for t, r in zip(t_cnt, r_cnt)]
+    pq.write_table(pa.table({
+        "bucket": pa.array(range(n_b), pa.int64()),
+        "w": pa.array(ws, pa.int64()),
+    }), os.path.join(out_dir, "weights.parquet"))
+    with open(done, "w") as f:
+        f.write(f"v={DSIR_GEN_VERSION} sf={sf_dir}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))

@@ -1,0 +1,91 @@
+"""DSIR importance resampling (ops/importance.py) vs brute force and
+the pinned fixture weight table."""
+
+import hashlib
+import math
+
+import numpy as np
+
+import ray.data
+
+from logagent_js_ray.ops.importance import (BUCKETS, _grams,
+                                            add_importance_weight,
+                                            dsir_log_weights,
+                                            dsir_select,
+                                            hashed_gram_profile)
+
+
+def brute_counts(texts) -> np.ndarray:
+    out = np.zeros(BUCKETS, np.int64)
+    for t in texts:
+        w = t.split(" ")
+        for g in w + [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]:
+            out[int(hashlib.md5(g.encode()).hexdigest()[:3], 16)] += 1
+    return out
+
+
+TEXTS = ["the cat sat", "a dog ran fast", "the cat ran",
+         "slow green turtle", "the the the"]
+
+
+def test_grams_single_space_tokenizer():
+    # double space yields an empty-string token, NOT collapsed (the
+    # repo-wide oracle contract)
+    assert _grams("a  b") == ["a", "", "b", "a ", " b"]
+
+
+def test_profile_matches_brute_force(ray_session):
+    ds = ray.data.from_items([{"text": t} for t in TEXTS])
+    got = hashed_gram_profile(ds)
+    want = brute_counts(TEXTS)
+    assert np.array_equal(got, want)
+
+
+def test_log_weights_integer_formula():
+    t = np.zeros(BUCKETS, np.int64)
+    r = np.zeros(BUCKETS, np.int64)
+    assert (dsir_log_weights(t, r) == 0).all()
+    t[7] = 99
+    r[7] = 99
+    w = dsir_log_weights(t, r)
+    # same counts, but target total < raw total only via smoothing: here
+    # totals are equal too, so the bucket-7 ratio is exactly 1
+    assert w[7] == 0
+    t[3] = 50
+    w = dsir_log_weights(t, r)
+    assert w[3] > 0  # target-only gram mass -> positive log ratio
+    want3 = round(1000 * (math.log(51) - math.log(149 + BUCKETS)
+                          - math.log(1) + math.log(99 + BUCKETS)))
+    assert w[3] == want3
+
+
+def test_select_prefers_target_like_docs(ray_session):
+    target_texts = ["alpha beta gamma delta"] * 3
+    raw = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["alpha beta gamma delta", "zeta eta theta iota",
+         "alpha beta mixed words", "totally unrelated stuff here",
+         "gamma delta alpha beta", "more unrelated filler text",
+         "beta gamma", "nothing in common at all"])]
+    ds = ray.data.from_items(raw)
+    tgt = ray.data.from_items([{"text": t} for t in target_texts])
+    kept = dsir_select(ds, tgt, keep_denominator=4).to_pandas()
+    assert len(kept) == 2
+    # only docs made purely of target grams can win (doc 6 "beta gamma"
+    # carries no negative raw-only gram, so it may outrank the longer
+    # doc 4 that contains one); the unrelated docs must never surface
+    assert set(kept.doc_id) <= {0, 4, 6}
+    assert 0 in set(kept.doc_id)
+
+
+def test_weights_match_pinned_fixture(ray_session):
+    import pyarrow.parquet as pq
+    from logagent_js_ray.fixtures.gen import ANN_PIN_SF_DIR, ensure_dsir
+    import os
+    fx = pq.read_table(os.path.join(ensure_dsir(), "weights.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(ANN_PIN_SF_DIR, "documents.parquet"),
+        columns=["text", "source"])
+    live = dsir_log_weights(
+        hashed_gram_profile(ds.filter(expr="source == 'src0'")),
+        hashed_gram_profile(ds))
+    assert np.array_equal(live, fx["w"].to_numpy())
