@@ -711,6 +711,85 @@ def ensure_dsir(root: str | None = None, sf_dir: str | None = None,
     return out_dir
 
 
+LM_GEN_VERSION = 1
+
+
+def ensure_lm(root: str | None = None, sf_dir: str | None = None,
+              force: bool = False) -> str:
+    """Pinned CCNet-style bigram-LM artifact for the d_lang_id 'ppl'
+    rows: ``lm/bigrams.parquet`` (w1, w2, cost), ``lm/ctx.parquet``
+    (w1, ctx_cost) and ``lm/meta.parquet`` (oov_cost, t1, t2 percentile
+    cutoffs) trained on the src0 reference docs — SCALAR
+    reimplementation independent of ops/lm_quality (the ensure_dsir /
+    sig_pairs precedent): add-1-smoothed integer milli-nat costs,
+    vocabulary = words observed in bigram events, cutoffs = exact
+    33rd/67th order statistics of the reference's own per-doc
+    cross-entropies. The live train_bigram_lm/reference_cutoffs must
+    reproduce every integer; the SQL oracle joins these tables.
+    Data-derived; pinned to the driver's sf0.01 grading scale."""
+    import math
+    root = root or FIXTURE_ROOT
+    sf_dir = sf_dir or ANN_PIN_SF_DIR
+    out_dir = os.path.join(os.path.abspath(root), "lm")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={LM_GEN_VERSION}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "source"])
+    ref = [t or "" for t, s in zip(docs["text"].to_pylist(),
+                                   docs["source"].to_pylist())
+           if s == "src0"]
+    big: dict[tuple, int] = {}
+    ctx_n: dict[str, int] = {}
+    vocab: set[str] = set()
+    for t in ref:
+        w = t.split(" ")
+        for a, b in zip(w[:-1], w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx_n[a] = ctx_n.get(a, 0) + 1
+            vocab.add(a)
+            vocab.add(b)
+    v = max(len(vocab), 1)
+    cost = {p: round(1000 * (math.log(ctx_n[p[0]] + v)
+                             - math.log(c + 1)))
+            for p, c in big.items()}
+    ctx_cost = {w1: round(1000 * math.log(n + v))
+                for w1, n in ctx_n.items()}
+    oov = round(1000 * math.log(v))
+
+    def doc_ce(t: str) -> int:
+        w = t.split(" ")
+        tot = 0
+        for a, b in zip(w[:-1], w[1:]):
+            tot += cost.get((a, b), ctx_cost.get(a, oov))
+        return tot // (len(w) - 1) if len(w) > 1 else 0
+
+    ces = sorted(doc_ce(t) for t in ref)
+    n = len(ces)
+    t1 = ces[max(0, math.ceil(n / 3) - 1)] if n else 0
+    t2 = ces[max(0, math.ceil(2 * n / 3) - 1)] if n else 0
+    pq.write_table(pa.table({
+        "w1": pa.array([p[0] for p in cost], pa.string()),
+        "w2": pa.array([p[1] for p in cost], pa.string()),
+        "cost": pa.array(list(cost.values()), pa.int64()),
+    }), os.path.join(out_dir, "bigrams.parquet"))
+    pq.write_table(pa.table({
+        "w1": pa.array(list(ctx_cost.keys()), pa.string()),
+        "ctx_cost": pa.array(list(ctx_cost.values()), pa.int64()),
+    }), os.path.join(out_dir, "ctx.parquet"))
+    pq.write_table(pa.table({
+        "oov_cost": pa.array([oov], pa.int64()),
+        "t1": pa.array([t1], pa.int64()),
+        "t2": pa.array([t2], pa.int64()),
+    }), os.path.join(out_dir, "meta.parquet"))
+    with open(done, "w") as f:
+        f.write(f"v={LM_GEN_VERSION} sf={sf_dir}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))

@@ -1,0 +1,88 @@
+"""CCNet-style LM quality filter (ops/lm_quality.py) vs scalar brute
+force and the pinned fixture artifact."""
+
+import math
+import os
+
+import numpy as np
+
+import ray
+import ray.data
+
+from logagent_js_ray.ops.lm_quality import (add_ppl_bucket,
+                                            reference_cutoffs,
+                                            score_cross_entropy,
+                                            train_bigram_lm)
+
+REF = ["the cat sat on the mat", "the dog sat on the rug",
+       "a cat and a dog"]
+
+
+def brute_lm(texts):
+    big, ctx, vocab = {}, {}, set()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w[:-1], w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            vocab |= {a, b}
+    v = len(vocab)
+    return ({p: round(1000 * (math.log(ctx[p[0]] + v) - math.log(c + 1)))
+             for p, c in big.items()},
+            {a: round(1000 * math.log(n + v)) for a, n in ctx.items()},
+            round(1000 * math.log(v)), v)
+
+
+def test_train_matches_brute_force(ray_session):
+    lm = train_bigram_lm(ray.data.from_items([{"text": t} for t in REF]))
+    wb, wc, oov, v = brute_lm(REF)
+    assert lm["v"] == v and lm["oov"] == oov
+    assert lm["bigram"] == wb and lm["ctx"] == wc
+
+
+def test_score_fallback_chain(ray_session):
+    lm = train_bigram_lm(ray.data.from_items([{"text": t} for t in REF]))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "the cat sat"},        # all seen bigrams
+        {"doc_id": 1, "text": "the zebra"},           # seen ctx, new w2
+        {"doc_id": 2, "text": "zebra quark"},         # unseen ctx -> oov
+        {"doc_id": 3, "text": "single"},              # no bigram -> 0
+    ])
+    got = {r.doc_id: r.ce_milli for r in
+           score_cross_entropy(docs, ray.put(lm)).to_pandas().itertuples()}
+    wb, wc, oov, _ = brute_lm(REF)
+    assert got[0] == (wb[("the", "cat")] + wb[("cat", "sat")]) // 2
+    assert got[1] == wc["the"]
+    assert got[2] == oov
+    assert got[3] == 0
+
+
+def test_cutoffs_and_buckets(ray_session):
+    ref = ray.data.from_items([{"text": t} for t in REF])
+    lm = train_bigram_lm(ref)
+    t1, t2 = reference_cutoffs(ref, lm)
+    assert t1 <= t2
+    scored = add_ppl_bucket(score_cross_entropy(ref, ray.put(lm)), t1, t2)
+    df = scored.to_pandas()
+    # the reference scored against itself must put ~1/3 in head
+    assert (df.ppl_bucket == "head").sum() >= 1
+    assert set(df.ppl_bucket) <= {"head", "middle", "tail"}
+
+
+def test_lm_matches_pinned_fixture(ray_session):
+    import pyarrow.parquet as pq
+    from logagent_js_ray.fixtures.gen import ANN_PIN_SF_DIR, ensure_lm
+    ref = ray.data.read_parquet(
+        os.path.join(ANN_PIN_SF_DIR, "documents.parquet"),
+        columns=["text", "source"]).filter(expr="source == 'src0'")
+    lm = train_bigram_lm(ref)
+    t1, t2 = reference_cutoffs(ref, lm)
+    lmd = ensure_lm()
+    bg = pq.read_table(os.path.join(lmd, "bigrams.parquet"))
+    fix = {(a, b): c for a, b, c in zip(bg["w1"].to_pylist(),
+                                        bg["w2"].to_pylist(),
+                                        bg["cost"].to_pylist())}
+    assert lm["bigram"] == fix
+    meta = pq.read_table(os.path.join(lmd, "meta.parquet")).to_pylist()[0]
+    assert (lm["oov"], t1, t2) == (meta["oov_cost"], meta["t1"],
+                                   meta["t2"])
