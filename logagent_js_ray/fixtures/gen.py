@@ -790,6 +790,61 @@ def ensure_lm(root: str | None = None, sf_dir: str | None = None,
     return out_dir
 
 
+BM25_GEN_VERSION = 1
+BM25_QUERY_DOCS = (0, 100, 200)  # query = first 8 tokens of each
+BM25_QUERY_LEN = 8
+
+
+def ensure_bm25(root: str | None = None, sf_dir: str | None = None,
+                force: bool = False) -> str:
+    """Pinned BM25 idf table for the v_ann 'bm25' rows: queries are
+    the first 8 tokens of docs 0/100/200; ``bm25/idf.parquet`` carries
+    round(1000 * ln((N - df + 0.5)/(df + 0.5) + 1)) per distinct query
+    term and ``bm25/meta.parquet`` the corpus totals (sd, nd) — SCALAR
+    reimplementation independent of ops/retrieval (the ensure_dsir /
+    ensure_lm precedent). The live doc_freqs/idf_milli pipeline must
+    reproduce these integers and the SQL oracle joins this table.
+    Data-derived; pinned to the driver's sf0.01 grading scale."""
+    import math
+    root = root or FIXTURE_ROOT
+    sf_dir = sf_dir or ANN_PIN_SF_DIR
+    out_dir = os.path.join(os.path.abspath(root), "bm25")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={BM25_GEN_VERSION}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    terms: list[str] = []
+    for qid in BM25_QUERY_DOCS:
+        for t in (by_id[qid] or "").split(" ")[:BM25_QUERY_LEN]:
+            if t not in terms:
+                terms.append(t)
+    texts = [t or "" for t in docs["text"].to_pylist()]
+    nd = len(texts)
+    sd = sum(len(t.split(" ")) for t in texts)
+    tok_sets = [set(t.split(" ")) for t in texts]
+    idf = []
+    for term in terms:
+        df_t = sum(term in s for s in tok_sets)
+        idf.append(round(1000 * math.log((nd - df_t + 0.5)
+                                         / (df_t + 0.5) + 1)))
+    pq.write_table(pa.table({
+        "term": pa.array(terms, pa.string()),
+        "idf_milli": pa.array(idf, pa.int64()),
+    }), os.path.join(out_dir, "idf.parquet"))
+    pq.write_table(pa.table({
+        "sd": pa.array([sd], pa.int64()),
+        "nd": pa.array([nd], pa.int64()),
+    }), os.path.join(out_dir, "meta.parquet"))
+    with open(done, "w") as f:
+        f.write(f"v={BM25_GEN_VERSION} sf={sf_dir}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))
