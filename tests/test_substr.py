@@ -102,6 +102,11 @@ def test_exact_substr_randomized(ray_session):
     got = run_op(texts, L, num_buckets=8, doc_buckets=4)
     want = brute_force(texts, L)
     assert got == want
+    # the distributed co-partition path (threshold 0 forces it past
+    # the broadcast fast path) must produce the identical output
+    dist = run_op(texts, L, num_buckets=8, doc_buckets=4,
+                  driver_threshold=0)
+    assert dist == want
 
 
 def test_exact_substr_unicode_chars(ray_session):
