@@ -161,7 +161,8 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        driver_threshold: int = 2_000_000
                        ) -> "ray.data.Dataset":
     """Corpus-wide duplicate-substring removal. Returns one row per
-    input document: (id, text_clean, n_spans, removed_chars)."""
+    input document: every caller column plus (text_clean, n_spans,
+    removed_chars)."""
 
     windows = ds.map_batches(
         _window_rows, batch_format="pyarrow",
@@ -212,30 +213,38 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                     out_t.append(_cut_one(text, st, en))
                     out_n.append(z - a)
                     out_r.append(int((en - st).sum()))
-            return pa.table({
-                id_col: b[id_col],
-                "text_clean": pa.array(out_t, pa.string()),
-                "n_spans": pa.array(out_n, pa.int64()),
-                "removed_chars": pa.array(out_r, pa.int64())})
+            return b.append_column(
+                "text_clean", pa.array(out_t, pa.string())) \
+                .append_column("n_spans", pa.array(out_n, pa.int64())) \
+                .append_column("removed_chars",
+                               pa.array(out_r, pa.int64()))
 
         return ds.map_batches(cut_broadcast, batch_format="pyarrow")
 
     # distributed path: co-partition marked starts with the documents
     # by id bucket (ops/joins.py union pattern), then per-doc span
-    # merge + cut inside each group
+    # merge + cut inside each group. Caller columns ride along on the
+    # doc rows; mark rows carry nulls for them.
+    schema = ds.schema()
+    base_cols = list(schema.names)
+    base_types = dict(zip(schema.names, schema.types))
+
     def tag_docs(b: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: b[id_col],
-            "s": pa.array(np.full(b.num_rows, -1, np.int32)),
-            text_col: b[text_col],
-            "_b": pa.array(coarse_bucket_array(b[id_col], doc_buckets))})
+        b = b.select(base_cols)
+        return b.append_column(
+            "s", pa.array(np.full(b.num_rows, -1, np.int32))) \
+            .append_column("_b", pa.array(
+                coarse_bucket_array(b[id_col], doc_buckets)))
 
     def tag_marks(b: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: b[id_col],
-            "s": b["s"],
-            text_col: pa.array([None] * b.num_rows, pa.string()),
-            "_b": pa.array(coarse_bucket_array(b[id_col], doc_buckets))})
+        cols = {}
+        for c in base_cols:
+            cols[c] = (b[id_col] if c == id_col
+                       else pa.nulls(b.num_rows, base_types[c]))
+        cols["s"] = b["s"]
+        cols["_b"] = pa.array(coarse_bucket_array(b[id_col],
+                                                  doc_buckets))
+        return pa.table(cols)
 
     both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
         marked.map_batches(tag_marks, batch_format="pyarrow"))
@@ -243,7 +252,8 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
     def cut_spans(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "s"], kind="stable")
         is_doc = g["s"].to_numpy() == -1
-        docs = g[is_doc]
+        docs = g[is_doc].drop(columns=["s", "_b"]) \
+            .reset_index(drop=True)
         ids = docs[id_col].to_numpy()
         texts = docs[text_col].to_numpy()
         mk = g[~is_doc]
@@ -263,9 +273,9 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                 out_t.append(_cut_one(text, st, en))
                 out_n.append(z - a)
                 out_r.append(int((en - st).sum()))
-        return pd.DataFrame({
-            id_col: ids, "text_clean": out_t,
-            "n_spans": np.array(out_n, np.int64),
-            "removed_chars": np.array(out_r, np.int64)})
+        docs["text_clean"] = out_t
+        docs["n_spans"] = np.array(out_n, np.int64)
+        docs["removed_chars"] = np.array(out_r, np.int64)
+        return docs
 
     return both.groupby("_b").map_groups(cut_spans, batch_format="pandas")

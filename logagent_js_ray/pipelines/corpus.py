@@ -121,6 +121,19 @@ def _counted(acc, stage: str, id_col: str):
     return fn
 
 
+def _substr_as_text(in_cols: list):
+    """Replace ``text`` with the ExactSubstr-cleaned text and restore
+    the caller's column set (rename_columns-by-dict needs newer
+    pyarrow, so swap by position)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["text", "n_spans", "removed_chars"])
+        b = b.rename_columns(["text" if c == "text_clean" else c
+                              for c in b.column_names])
+        return b.select(in_cols)
+    return fn
+
+
 # declared-approximation preset for a web-scale corpus: 8-byte hashed
 # shingles through the only all-to-all (2^-64 per-shingle collision
 # odds, ~2.4x fewer exchange bytes measured in BASELINE.md) and a
@@ -137,6 +150,12 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
                   jaccard_threshold: tuple = (1, 3),
                   decontam_k: int = 5,
                   scale: str = "standard",
+                  lm_reference: "ray.data.Dataset | None" = None,
+                  lm_keep: tuple = ("head", "middle"),
+                  exact_substr: bool = False,
+                  substr_min_len: int = 30,
+                  dsir_target: "ray.data.Dataset | None" = None,
+                  dsir_keep_denominator: int = 4,
                   id_col: str = "doc_id") -> dict:
     """Run the full curation chain over ``doc_path`` and return a
     summary dict with per-stage surviving row counts (plus the curated
@@ -152,6 +171,21 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     whose posting lists stay under the guard (asserted in
     tests/test_corpus.py); above it, the dropped shingles are the
     declared approximation.
+
+    Optional stages compose the rest of the modern recipe (each is an
+    individually oracle-checked operator; all default OFF, leaving the
+    driver-checked base chain byte-identical):
+
+      * ``lm_reference`` — CCNet LM quality filter after the Gopher
+        gate (ops/lm_quality): train the integer bigram LM on the
+        reference, bucket by the reference's own percentile cutoffs,
+        keep ``lm_keep`` buckets. Per-batch, no shuffle.
+      * ``exact_substr`` — ExactSubstr duplicate-span removal between
+        exact and fuzzy dedup (ops/substr, the Lee et al. ordering);
+        documents whose text is entirely duplicated elsewhere drop.
+      * ``dsir_target`` — final DSIR selection (ops/importance): keep
+        the exact top n//``dsir_keep_denominator`` by importance
+        weight toward the target distribution.
     """
     if scale not in ("standard", "web"):
         raise ValueError(f"scale must be 'standard' or 'web', got "
@@ -171,6 +205,21 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         .map_batches(_counted(acc, "quality", id_col),
                      batch_format="pyarrow")
 
+    # 1b. CCNet LM quality filter (per-batch, no shuffle; the LM and
+    # cutoffs are reference-derived broadcast artifacts)
+    if lm_reference is not None:
+        from ..ops.lm_quality import (add_ppl_bucket, reference_cutoffs,
+                                      score_cross_entropy,
+                                      train_bigram_lm)
+        lm = train_bigram_lm(lm_reference)
+        t1, t2 = reference_cutoffs(lm_reference, lm)
+        keep_expr = " or ".join(f"ppl_bucket == '{b}'" for b in lm_keep)
+        ds = add_ppl_bucket(score_cross_entropy(ds, ray.put(lm)), t1, t2) \
+            .filter(expr=keep_expr) \
+            .select_columns(in_cols) \
+            .map_batches(_counted(acc, "lm_quality", id_col),
+                         batch_format="pyarrow")
+
     # 2. decontamination (broadcast set, per-batch filter)
     if bench is not None:
         ref = collect_benchmark_ngrams(bench, k=decontam_k)
@@ -188,6 +237,21 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     ds = exact_dedup_rows(ds, id_col=id_col).materialize()
     counts["exact_dedup"] = ds.count()  # block metadata, no pass
 
+    # 3b. ExactSubstr duplicate-span removal (ops/substr) between exact
+    # and fuzzy dedup — the Lee et al. ordering. Documents reduced to
+    # nothing (fully duplicated elsewhere) drop; the cut rows replace
+    # the corpus and re-materialize (near-dup still consumes them
+    # twice).
+    if exact_substr:
+        from ..ops.substr import exact_substr_dedup
+        ds = exact_substr_dedup(ds, id_col=id_col, text_col="text",
+                                min_len=substr_min_len) \
+            .filter(expr="text_clean != ''") \
+            .map_batches(_substr_as_text(in_cols),
+                         batch_format="pyarrow") \
+            .map_batches(_counted(acc, "substr", id_col),
+                         batch_format="pyarrow").materialize()
+
     # 4. near-dup cluster dedup (pairs -> components -> keep minimum)
     num, den = jaccard_threshold
     pairs = ngram_jaccard_pairs(ds, id_col=id_col, threshold_num=num,
@@ -204,6 +268,22 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
             .map_batches(_counted(acc, "sampled", id_col),
                          batch_format="pyarrow")
 
+    # 6. DSIR selection toward the target distribution (exact top
+    # n//k by integer importance weight; sort is the honest cost of
+    # exact top-k — see ops/importance for the quantile-threshold
+    # approximation at extreme scale)
+    if dsir_target is not None:
+        from ..ops.importance import dsir_select
+        # dsir_select needs count() + a sort over the same rows —
+        # materialize so the upstream chain doesn't execute twice
+        out = out.materialize()
+        out = dsir_select(out, dsir_target, id_col=id_col,
+                          keep_denominator=dsir_keep_denominator) \
+            .map_batches(lambda b: b.drop_columns(["dsir_w"]),
+                         batch_format="pyarrow") \
+            .map_batches(_counted(acc, "dsir", id_col),
+                         batch_format="pyarrow")
+
     # the deliverable executes keep -> sample -> counters in one pass
     out = out.materialize()
     if out_dir:
@@ -216,8 +296,8 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         out.write_parquet(out_dir, concurrency=write_concurrency(),
                           **PARQUET_WRITE_OPTS)
     totals = ray.get(acc.totals.remote())
-    order = ["input", "quality", "decontaminated", "exact_dedup",
-             "near_dedup", "sampled"]
+    order = ["input", "quality", "lm_quality", "decontaminated",
+             "exact_dedup", "substr", "near_dedup", "sampled", "dsir"]
     counts.update(totals)
     counts = {k: counts[k] for k in order if k in counts}
     return {"counts": counts, "dataset": out}

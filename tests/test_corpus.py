@@ -112,3 +112,69 @@ def test_curate_corpus_near_dup_and_scale_validation(ray_session,
     import pytest
     with pytest.raises(ValueError):
         curate_corpus(str(p), scale="planet")
+
+
+def test_curate_corpus_modern_stages(ray_session, tmp_path):
+    """The optional LM-quality / ExactSubstr / DSIR stages compose with
+    the base chain, drop what each method says they drop, and preserve
+    caller columns end to end."""
+    import pyarrow.parquet as pq
+    import ray
+    from logagent_js_ray.pipelines.corpus import curate_corpus
+    base = ("the cat and the dog have that thing to be of note here "
+            "plus some more words to pass the length gate fine")
+    dup_span = "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg"  # 44 ch
+    rows = []
+    for i in range(12):
+        body = " ".join(f"m{i}n{j}" for j in range(12))
+        rows.append({"doc_id": i, "text": base + " " + body,
+                     "url": f"https://x/{i}"})
+    # docs 0 and 1 share a long span -> ExactSubstr cuts it from BOTH
+    rows[0]["text"] += " " + dup_span
+    rows[1]["text"] += " " + dup_span
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    p = tmp_path / "docs3.parquet"
+    pq.write_table(t, str(p))
+    ref = ray.data.from_arrow(pa.table({"text": [base] * 3}))
+    target = ray.data.from_arrow(pa.table(
+        {"text": ["m3n0 m3n1 m3n2 m3n3"]}))
+    res = curate_corpus(str(p), gopher_kwargs={"min_words": 5,
+                                               "min_stop_hits": 2},
+                        jaccard_threshold=(9, 10),
+                        lm_reference=ref, lm_keep=("head", "middle",
+                                                   "tail"),
+                        exact_substr=True, substr_min_len=30,
+                        dsir_target=target, dsir_keep_denominator=4)
+    c = res["counts"]
+    assert c["quality"] == 12
+    assert c["lm_quality"] == 12       # all buckets kept
+    assert c["substr"] == 12           # spans cut, no doc emptied
+    assert c["near_dedup"] == 12
+    assert c["dsir"] == 3              # exact top 12//4
+    out = res["dataset"].to_pandas()
+    assert len(out) == 3
+    assert 3 in out["doc_id"].tolist()  # the target-gram doc wins
+    assert "dsir_w" not in out.columns
+    assert out["url"].notna().all()    # caller columns survive
+    # the shared span is gone from every surviving text
+    full = curate_corpus(str(p), gopher_kwargs={"min_words": 5,
+                                                "min_stop_hits": 2},
+                         jaccard_threshold=(9, 10), exact_substr=True,
+                         substr_min_len=30)
+    texts = dict(zip(full["dataset"].to_pandas()["doc_id"],
+                     full["dataset"].to_pandas()["text"]))
+    assert dup_span not in texts[0] and dup_span not in texts[1]
+    assert dup_span in dict(zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()))[0]
+    # restrictive LM gate actually drops: a reference containing two
+    # of the corpus docs gives exactly those docs in-reference scores;
+    # t2 = the reference's 67th-percentile ce, so head+middle keeps a
+    # strict nonempty subset (the base-only ref doc scores below both)
+    ref2 = ray.data.from_arrow(pa.table(
+        {"text": [rows[2]["text"], rows[3]["text"], base]}))
+    strict = curate_corpus(str(p), gopher_kwargs={"min_words": 5,
+                                                  "min_stop_hits": 2},
+                           jaccard_threshold=(9, 10),
+                           lm_reference=ref2,
+                           lm_keep=("head", "middle"))
+    assert 0 < strict["counts"].get("lm_quality", 0) < 12
