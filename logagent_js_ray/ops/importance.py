@@ -124,3 +124,27 @@ def dsir_select(ds: "ray.data.Dataset", target: "ray.data.Dataset",
     k = ds.count() // keep_denominator
     return scored.sort(["dsir_w", id_col],
                        descending=[True, False]).limit(k)
+
+
+def dsir_select_threshold(ds: "ray.data.Dataset",
+                          target: "ray.data.Dataset",
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          keep_fraction: float = 0.25,
+                          m: int = 4096) -> "ray.data.Dataset":
+    """Approximate DSIR selection for extreme scale: instead of the
+    exact top-k's global sort, estimate the (1 - keep_fraction) score
+    quantile with the mergeable weighted-sample sketch
+    (ops/sketches.approx_quantiles, ~n/m rank error) and keep docs
+    with score >= that threshold — one extra streaming pass and a tiny
+    sketch merge, no all-to-all. The kept count is approximate by the
+    sketch's rank error (declared); ordering within the kept set is
+    irrelevant to training-data selection."""
+    from .sketches import approx_quantiles
+    weights = dsir_log_weights(hashed_gram_profile(target, text_col),
+                               hashed_gram_profile(ds, text_col))
+    scored = add_importance_weight(ds, weights, text_col).materialize()
+    q = approx_quantiles(scored, "dsir_w", qs=(1.0 - keep_fraction,),
+                         m=m)
+    thr = int(q["value"].iloc[0])
+    return scored.filter(expr=f"dsir_w >= {thr}")

@@ -89,3 +89,28 @@ def test_weights_match_pinned_fixture(ray_session):
         hashed_gram_profile(ds.filter(expr="source == 'src0'")),
         hashed_gram_profile(ds))
     assert np.array_equal(live, fx["w"].to_numpy())
+
+
+def test_threshold_select_approximates_topk(ray_session):
+    from logagent_js_ray.ops.importance import dsir_select_threshold
+    rng_texts = []
+    for i in range(80):
+        # vary target-gram density so scores spread
+        n_hits = i % 9
+        words = ["alpha beta"] * n_hits + ["zz%d" % j for j in range(8)]
+        rng_texts.append({"doc_id": i, "text": " ".join(words)})
+    ds = ray.data.from_items(rng_texts)
+    tgt = ray.data.from_items([{"text": "alpha beta gamma"}] * 2)
+    exact = dsir_select(ds, tgt, keep_denominator=4).to_pandas()
+    approx = dsir_select_threshold(ds, tgt,
+                                   keep_fraction=0.25).to_pandas()
+    # at this size the sketch is exact, so the threshold is the true
+    # quantile; ties at the boundary may keep a few extra docs
+    assert len(approx) >= len(exact)
+    assert len(approx) <= 2 * len(exact) + 8
+    kept = set(approx.doc_id)
+    # every strictly-above-threshold exact pick is present
+    thr = approx.dsir_w.min()
+    for r in exact.itertuples():
+        if r.dsir_w > thr:
+            assert r.doc_id in kept
