@@ -845,6 +845,106 @@ def ensure_bm25(root: str | None = None, sf_dir: str | None = None,
     return out_dir
 
 
+BPE_GEN_VERSION = 1
+BPE_NUM_MERGES = 64
+
+
+def ensure_bpe(root: str | None = None, sf_dir: str | None = None,
+               force: bool = False) -> str:
+    """Pinned BPE artifact for the d_token_stats 'bpe' rows:
+    ``bpe/merges.parquet`` (rank, a, b) learned from the src0
+    reference docs and ``bpe/doc_counts.parquet`` (doc_id,
+    n_tokens_bpe) for every document — fixture-local reimplementation
+    of the Sennrich et al. procedure (word-internal, highest-count
+    pair, lexicographic tie-break, rank-ordered encoding; the
+    mm_pipeline expected-table precedent, since BPE has no SQL
+    expression). The live ops/bpe pipeline must reproduce both tables
+    exactly. Data-derived; pinned to the driver's sf0.01 scale."""
+    root = root or FIXTURE_ROOT
+    sf_dir = sf_dir or ANN_PIN_SF_DIR
+    out_dir = os.path.join(os.path.abspath(root), "bpe")
+    done = os.path.join(out_dir, "_DONE")
+    if not force and os.path.exists(done):
+        with open(done) as f:
+            if f"v={BPE_GEN_VERSION}" in f.read():
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    freq: dict[tuple, int] = {}
+    for t, s in zip(docs["text"].to_pylist(), docs["source"].to_pylist()):
+        if s != "src0":
+            continue
+        for w in (t or "").split(" "):
+            if w:
+                freq[tuple(w)] = freq.get(tuple(w), 0) + 1
+    merges = []
+    for _ in range(BPE_NUM_MERGES):
+        pc: dict[tuple, int] = {}
+        for sym, f in freq.items():
+            for pair in zip(sym[:-1], sym[1:]):
+                pc[pair] = pc.get(pair, 0) + f
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        nf: dict[tuple, int] = {}
+        for sym, f in freq.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nf[tuple(out)] = nf.get(tuple(out), 0) + f
+        freq = nf
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def enc_len(w: str) -> int:
+        sym = list(w)
+        while len(sym) > 1:
+            bi, br = -1, None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (br is None or r < br):
+                    bi, br = i, r
+            if br is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return len(sym)
+
+    wcache: dict[str, int] = {}
+    ids, counts = [], []
+    for did, t in zip(docs["doc_id"].to_pylist(),
+                      docs["text"].to_pylist()):
+        n = 0
+        for w in (t or "").split(" "):
+            if not w:
+                continue
+            if w not in wcache:
+                wcache[w] = enc_len(w)
+            n += wcache[w]
+        ids.append(did)
+        counts.append(n)
+    pq.write_table(pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "a": pa.array([m[0] for m in merges], pa.string()),
+        "b": pa.array([m[1] for m in merges], pa.string()),
+    }), os.path.join(out_dir, "merges.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens_bpe": pa.array(counts, pa.int64()),
+    }), os.path.join(out_dir, "doc_counts.parquet"))
+    with open(done, "w") as f:
+        f.write(f"v={BPE_GEN_VERSION} sf={sf_dir}\n")
+    return out_dir
+
+
 def fixture_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture sf name."""
     sf = os.path.basename(os.path.normpath(sf_dir))

@@ -1,0 +1,67 @@
+"""Trained BPE tokenizer (ops/bpe.py): hand-checked merges, encode
+semantics, and pinned-fixture agreement."""
+
+import os
+
+import ray
+import ray.data
+
+from logagent_js_ray.ops.bpe import (count_tokens_bpe, encode_word,
+                                     train_bpe)
+
+
+def test_train_hand_checked_merges():
+    # corpus: "aaab" x3, "ab" x2
+    merges = train_bpe(["aaab aaab aaab", "ab ab"], num_merges=3)
+    # (a,a)=6 beats (a,b)=5; then (a,b)=5; then the tie
+    # (aa,a)=3 vs (a,ab)=3 resolves lexicographically to (a,ab)... but
+    # after merging (a,b) the words are (aa,a,b)->(aa,ab) wait:
+    # "aaab" after merge1 = (aa,a,b); after merge2 (a,b)-> (aa,ab)? no:
+    # (aa,a,b) contains pair (a,b) at positions 1,2 -> (aa, ab).
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("a", "b")
+    # after merge2: "aaab"=(aa,ab) x3, "ab"=(ab) x2 -> only pair
+    # (aa,ab)=3 -> merge3
+    assert merges[2] == ("aa", "ab")
+
+
+def test_encode_word_rank_order():
+    merges = [("a", "a"), ("a", "b"), ("aa", "ab")]
+    rank = {p: i for i, p in enumerate(merges)}
+    assert encode_word("aaab", rank) == ["aaab"]
+    assert encode_word("ab", rank) == ["ab"]
+    assert encode_word("aab", rank) == ["aa", "b"]  # (a,a) first
+    assert encode_word("xyz", rank) == ["x", "y", "z"]
+    assert encode_word("a", rank) == ["a"]
+
+
+def test_count_tokens_distributed(ray_session):
+    merges = train_bpe(["aaab aaab aaab", "ab ab"], num_merges=3)
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "aaab ab"},     # 1 + 1
+        {"doc_id": 1, "text": "aab xyz"},     # 2 + 3
+        {"doc_id": 2, "text": ""},            # 0
+    ])
+    out = count_tokens_bpe(ds, ray.put(merges)).to_pandas() \
+        .set_index("doc_id")["n_tokens_bpe"]
+    assert out[0] == 2 and out[1] == 5 and out[2] == 0
+
+
+def test_matches_pinned_fixture(ray_session):
+    import pyarrow.parquet as pq
+    from logagent_js_ray.fixtures.gen import (ANN_PIN_SF_DIR,
+                                              BPE_NUM_MERGES,
+                                              ensure_bpe)
+    path = os.path.join(ANN_PIN_SF_DIR, "documents.parquet")
+    ref = ray.data.read_parquet(path, columns=["text", "source"]) \
+        .filter(expr="source == 'src0'")
+    merges = train_bpe(ref, num_merges=BPE_NUM_MERGES)
+    fx = pq.read_table(os.path.join(ensure_bpe(), "merges.parquet"))
+    assert merges == list(zip(fx["a"].to_pylist(), fx["b"].to_pylist()))
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    live = count_tokens_bpe(docs, ray.put(merges)).to_pandas() \
+        .sort_values("doc_id")
+    want = pq.read_table(os.path.join(ensure_bpe(),
+                                      "doc_counts.parquet")) \
+        .to_pandas().sort_values("doc_id")
+    assert live["n_tokens_bpe"].tolist() == want["n_tokens_bpe"].tolist()
