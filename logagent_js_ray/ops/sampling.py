@@ -95,3 +95,51 @@ def hash_sample(ds: "ray.data.Dataset", id_col: str,
         make_hash_sample_fn(id_col, fraction, seed, strata_col,
                             strata_fractions, default_fraction),
         batch_format="pyarrow")
+
+
+def apportion_budget(counts: dict[str, int], budget: int,
+                     ) -> dict[str, int]:
+    """Integer largest-remainder apportionment (Hamilton's method) of a
+    token ``budget`` across domains proportional to their counts —
+    the data-mixing step that turns per-domain token totals into an
+    exact per-domain sampling budget. All-integer (base =
+    budget*c//total, remainder = budget*c mod total; ties on remainder
+    break by domain name ascending), so any engine reproduces the
+    allocation exactly; allocations always sum to ``budget``."""
+    total = sum(counts.values())
+    if total == 0 or budget <= 0:
+        return {k: 0 for k in counts}
+    base = {k: budget * c // total for k, c in counts.items()}
+    rem = {k: budget * c % total for k, c in counts.items()}
+    deficit = budget - sum(base.values())
+    for k in sorted(counts, key=lambda k: (-rem[k], k))[:deficit]:
+        base[k] += 1
+    return base
+
+
+def domain_mixture(ds: "ray.data.Dataset", budget: int,
+                   key_col: str = "source",
+                   text_col: str = "text"):
+    """Per-domain whitespace-token totals (bounded per-block partials,
+    tree-merged — never a corpus shuffle) -> largest-remainder budget
+    allocation. Returns a pandas DataFrame (key, tokens, alloc)."""
+    import pandas as pd
+
+    from ..stages.aggregate import tree_merge
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: b[key_col].to_pylist(),
+            "tokens": [len((t or "").split(" "))
+                       for t in b[text_col].to_pylist()]})
+        g = df.groupby(key_col, as_index=False)["tokens"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = tree_merge(ds.map_batches(part, batch_format="pyarrow"),
+                     [key_col], {"tokens": "sum"}).to_pandas()
+    counts = dict(zip(tot[key_col], (int(v) for v in tot["tokens"])))
+    alloc = apportion_budget(counts, budget)
+    out = tot.sort_values(key_col).reset_index(drop=True)
+    out["alloc"] = out[key_col].map(alloc).astype("int64")
+    out["tokens"] = out["tokens"].astype("int64")
+    return out

@@ -53,3 +53,32 @@ def test_fraction_threshold_edges():
     assert fraction_threshold(0.5) == "8" + "0" * 31
     with pytest.raises(ValueError):
         fraction_threshold(1.5)
+
+
+def test_apportion_budget_exact():
+    from logagent_js_ray.ops.sampling import apportion_budget
+    # 100 over 3:2:1 -> base 50/33/16 (sum 99), largest remainder +1
+    a = apportion_budget({"x": 3, "y": 2, "z": 1}, 100)
+    assert sum(a.values()) == 100
+    assert a["x"] == 50 and a["y"] + a["z"] == 50
+    # remainder tie broken by name ascending
+    b = apportion_budget({"b": 1, "a": 1}, 3)
+    assert b == {"a": 2, "b": 1}
+    assert apportion_budget({"a": 0, "b": 0}, 10) == {"a": 0, "b": 0}
+    assert apportion_budget({"a": 5}, 0) == {"a": 0}
+
+
+def test_domain_mixture_distributed(ray_session):
+    import ray.data
+    from logagent_js_ray.ops.sampling import domain_mixture
+    rows = []
+    for i in range(30):
+        rows.append({"source": f"s{i % 3}",
+                     "text": " ".join(["w"] * (i % 3 + 1))})
+    out = domain_mixture(ray.data.from_items(rows), budget=1000)
+    assert out["alloc"].sum() == 1000
+    toks = dict(zip(out["source"], out["tokens"]))
+    assert toks == {"s0": 10, "s1": 20, "s2": 30}
+    # proportionality within 1 of the real share
+    for r in out.itertuples():
+        assert abs(r.alloc - 1000 * r.tokens / 60) <= 1
