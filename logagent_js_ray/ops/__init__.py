@@ -27,3 +27,22 @@ def scorer_pool() -> tuple:
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     return (1, max(8, cpus))
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def resolve_broadcast(ref, limit: int = 8):
+    """Per-worker-process cache for ``ray.put`` broadcast artifacts
+    resolved inside stateless map_batches tasks (the ops/similarity
+    _SCORER_CACHE pattern, shared): one ``ray.get`` per worker process
+    per ref, bounded memory via whole-cache clear when more than
+    ``limit`` distinct refs accumulate."""
+    import ray
+    val = _BROADCAST_CACHE.get(ref)
+    if val is None:
+        if len(_BROADCAST_CACHE) > limit:
+            _BROADCAST_CACHE.clear()
+        val = ray.get(ref)
+        _BROADCAST_CACHE[ref] = val
+    return val

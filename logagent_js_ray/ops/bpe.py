@@ -28,7 +28,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_ENC_CACHE: dict = {}
+from . import resolve_broadcast
+
+# encoder state per merges ref: (rank dict, per-worker word cache)
+_ENC_STATE: dict = {}
 
 
 def train_bpe(ref, num_merges: int = 64,
@@ -101,13 +104,13 @@ def count_tokens_bpe(ds: "ray.data.Dataset", merges_ref,
     ``merges_ref`` = ray.put(merge list). Per-worker word cache."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        state = _ENC_CACHE.get(merges_ref)
+        state = _ENC_STATE.get(merges_ref)
         if state is None:
-            if len(_ENC_CACHE) > 4:
-                _ENC_CACHE.clear()
-            merges = ray.get(merges_ref)
+            if len(_ENC_STATE) > 4:
+                _ENC_STATE.clear()
+            merges = resolve_broadcast(merges_ref)
             state = ({p: i for i, p in enumerate(merges)}, {})
-            _ENC_CACHE[merges_ref] = state
+            _ENC_STATE[merges_ref] = state
         rank, word_cache = state
         out = []
         for t in batch[text_col].to_pylist():

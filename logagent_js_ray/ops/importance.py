@@ -117,7 +117,11 @@ def dsir_select(ds: "ray.data.Dataset", target: "ray.data.Dataset",
                 text_col: str = "text", id_col: str = "doc_id",
                 keep_denominator: int = 4) -> "ray.data.Dataset":
     """End-to-end DSIR: profile target + raw, score, keep the exact
-    top n//keep_denominator documents by (score DESC, id ASC)."""
+    top n//keep_denominator documents by (score DESC, id ASC).
+    Materializes ``ds`` internally — the raw profile, count and sort
+    each consume it, and re-executing a compute-carrying upstream
+    chain three times would dwarf one object-store residency."""
+    ds = ds.materialize()
     weights = dsir_log_weights(hashed_gram_profile(target, text_col),
                                hashed_gram_profile(ds, text_col))
     scored = add_importance_weight(ds, weights, text_col)

@@ -38,8 +38,10 @@ import ray
 import ray.data
 
 from ..stages.aggregate import tree_merge
+from . import resolve_broadcast
 
-_LM_CACHE: dict = {}
+_BIGRAM_SCHEMA = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("c", pa.int64())])
 
 
 def _bigram_rows(batch: pa.Table, text_col: str) -> pa.Table:
@@ -48,10 +50,13 @@ def _bigram_rows(batch: pa.Table, text_col: str) -> pa.Table:
         w = (t or "").split(" ")
         w1s.extend(w[:-1])
         w2s.extend(w[1:])
+    if not w1s:  # pin the empty schema: an empty pandas groupby would
+        return _BIGRAM_SCHEMA.empty_table()  # emit double-typed w1/w2
     df = pd.DataFrame({"w1": w1s, "w2": w2s})
     g = df.groupby(["w1", "w2"], as_index=False).size() \
           .rename(columns={"size": "c"})
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False) \
+        .cast(_BIGRAM_SCHEMA)
 
 
 def train_bigram_lm(ref_ds: "ray.data.Dataset",
@@ -98,12 +103,7 @@ def score_cross_entropy(ds: "ray.data.Dataset", lm_ref,
     0 when the doc has < 2 tokens). ``lm_ref`` = ray.put(lm dict)."""
 
     def score(batch: pa.Table) -> pa.Table:
-        lm = _LM_CACHE.get(lm_ref)
-        if lm is None:
-            if len(_LM_CACHE) > 4:
-                _LM_CACHE.clear()
-            lm = ray.get(lm_ref)
-            _LM_CACHE[lm_ref] = lm
+        lm = resolve_broadcast(lm_ref)
         out = np.empty(batch.num_rows, np.int64)
         for i, t in enumerate(batch[text_col].to_pylist()):
             total, n = _doc_cost(t, lm)

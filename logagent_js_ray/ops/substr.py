@@ -48,14 +48,13 @@ import ray
 import ray.data
 
 from ..stages.aggregate import coarse_bucket_array
+from . import resolve_broadcast
 
 # Odd multiplier (FNV-1a prime) -> invertible mod 2^64, so the rolling
 # hash can divide out the position factor and window hashes of equal
 # substrings are equal regardless of buffer position.
 _B = np.uint64(0x100000001B3)
 _BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
-
-_SPANS_CACHE: dict = {}
 
 
 def _pows(base: np.uint64, n: int) -> np.ndarray:
@@ -155,6 +154,28 @@ def _cut_one(text: str, st: np.ndarray, en: np.ndarray) -> str:
     return "".join(segs)
 
 
+def _cut_docs(ids: np.ndarray, texts, spans) -> tuple[list, list, list]:
+    """Apply merged spans to each doc: (clean_texts, n_spans,
+    removed_chars) — the one implementation both the broadcast and the
+    co-partition paths share (tests assert path parity)."""
+    sp_id, sp_st, sp_en = spans
+    lo = np.searchsorted(sp_id, ids, side="left")
+    hi = np.searchsorted(sp_id, ids, side="right")
+    out_t, out_n, out_r = [], [], []
+    for text, a, z in zip(texts, lo.tolist(), hi.tolist()):
+        text = text or ""
+        if a == z:
+            out_t.append(text)
+            out_n.append(0)
+            out_r.append(0)
+        else:
+            st, en = sp_st[a:z], sp_en[a:z]
+            out_t.append(_cut_one(text, st, en))
+            out_n.append(z - a)
+            out_r.append(int((en - st).sum()))
+    return out_t, out_n, out_r
+
+
 def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text", min_len: int = 30,
                        num_buckets: int = 64, doc_buckets: int = 32,
@@ -162,7 +183,13 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        ) -> "ray.data.Dataset":
     """Corpus-wide duplicate-substring removal. Returns one row per
     input document: every caller column plus (text_clean, n_spans,
-    removed_chars)."""
+    removed_chars).
+
+    CONSUMES ``ds`` TWICE (the window pass, then the cut pass): a bare
+    pruned ``read_parquet`` is re-read — deliberately cheaper at scale
+    than holding the corpus in the object store — but pass a
+    MATERIALIZED dataset when the upstream chain carries real compute
+    (the curate_corpus composition does)."""
 
     windows = ds.map_batches(
         _window_rows, batch_format="pyarrow",
@@ -190,29 +217,10 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                                           mk["s"].to_numpy(), min_len))
 
         def cut_broadcast(b: pa.Table) -> pa.Table:
-            sp = _SPANS_CACHE.get(spans_ref)
-            if sp is None:
-                if len(_SPANS_CACHE) > 4:
-                    _SPANS_CACHE.clear()
-                sp = ray.get(spans_ref)
-                _SPANS_CACHE[spans_ref] = sp
-            sp_id, sp_st, sp_en = sp
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            texts = b[text_col].to_pylist()
-            lo = np.searchsorted(sp_id, ids, side="left")
-            hi = np.searchsorted(sp_id, ids, side="right")
-            out_t, out_n, out_r = [], [], []
-            for text, a, z in zip(texts, lo.tolist(), hi.tolist()):
-                text = text or ""
-                if a == z:
-                    out_t.append(text)
-                    out_n.append(0)
-                    out_r.append(0)
-                else:
-                    st, en = sp_st[a:z], sp_en[a:z]
-                    out_t.append(_cut_one(text, st, en))
-                    out_n.append(z - a)
-                    out_r.append(int((en - st).sum()))
+            spans = resolve_broadcast(spans_ref)
+            out_t, out_n, out_r = _cut_docs(
+                b[id_col].to_numpy(zero_copy_only=False),
+                b[text_col].to_pylist(), spans)
             return b.append_column(
                 "text_clean", pa.array(out_t, pa.string())) \
                 .append_column("n_spans", pa.array(out_n, pa.int64())) \
@@ -257,22 +265,9 @@ def exact_substr_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
         ids = docs[id_col].to_numpy()
         texts = docs[text_col].to_numpy()
         mk = g[~is_doc]
-        sp_id, sp_st, sp_en = _spans_arrays(
-            mk[id_col].to_numpy(), mk["s"].to_numpy(), min_len)
-        lo = np.searchsorted(sp_id, ids, side="left")
-        hi = np.searchsorted(sp_id, ids, side="right")
-        out_t, out_n, out_r = [], [], []
-        for text, a, z in zip(texts, lo.tolist(), hi.tolist()):
-            text = text or ""
-            if a == z:
-                out_t.append(text)
-                out_n.append(0)
-                out_r.append(0)
-            else:
-                st, en = sp_st[a:z], sp_en[a:z]
-                out_t.append(_cut_one(text, st, en))
-                out_n.append(z - a)
-                out_r.append(int((en - st).sum()))
+        spans = _spans_arrays(mk[id_col].to_numpy(),
+                              mk["s"].to_numpy(), min_len)
+        out_t, out_n, out_r = _cut_docs(ids, texts, spans)
         docs["text_clean"] = out_t
         docs["n_spans"] = np.array(out_n, np.int64)
         docs["removed_chars"] = np.array(out_r, np.int64)

@@ -82,6 +82,7 @@ class StageCounter:
     counts are exact even when Ray re-executes a batch."""
 
     def __init__(self):
+        pa.set_cpu_count(1)  # actor rule (CLAUDE.md)
         self.parts: dict[tuple, int] = {}
 
     def add(self, stage: str, key: str, n: int) -> None:
@@ -274,9 +275,6 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     # approximation at extreme scale)
     if dsir_target is not None:
         from ..ops.importance import dsir_select
-        # dsir_select needs count() + a sort over the same rows —
-        # materialize so the upstream chain doesn't execute twice
-        out = out.materialize()
         out = dsir_select(out, dsir_target, id_col=id_col,
                           keep_denominator=dsir_keep_denominator) \
             .map_batches(lambda b: b.drop_columns(["dsir_w"]),
@@ -296,8 +294,19 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         out.write_parquet(out_dir, concurrency=write_concurrency(),
                           **PARQUET_WRITE_OPTS)
     totals = ray.get(acc.totals.remote())
+    counts.update(totals)
+    # a stage that dropped EVERY row posted no partials — it must
+    # still report 0 (a zero-surviving stage is not a disabled stage)
+    enabled = (["quality"]
+               + (["lm_quality"] if lm_reference is not None else [])
+               + (["decontaminated"] if bench is not None else [])
+               + (["substr"] if exact_substr else [])
+               + ["near_dedup"]
+               + (["sampled"] if sample_fraction is not None else [])
+               + (["dsir"] if dsir_target is not None else []))
+    for st in enabled:
+        counts.setdefault(st, 0)
     order = ["input", "quality", "lm_quality", "decontaminated",
              "exact_dedup", "substr", "near_dedup", "sampled", "dsir"]
-    counts.update(totals)
     counts = {k: counts[k] for k in order if k in counts}
     return {"counts": counts, "dataset": out}

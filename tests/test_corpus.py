@@ -178,3 +178,22 @@ def test_curate_corpus_modern_stages(ray_session, tmp_path):
                            lm_reference=ref2,
                            lm_keep=("head", "middle"))
     assert 0 < strict["counts"].get("lm_quality", 0) < 12
+
+
+def test_curate_corpus_zero_surviving_stage_reports_zero(ray_session,
+                                                         tmp_path):
+    """A stage that drops every row must still appear in counts as 0
+    (not vanish), and the empty corpus must flow through the whole
+    chain without crashing."""
+    import pyarrow.parquet as pq
+    from logagent_js_ray.pipelines.corpus import curate_corpus
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["tiny", "wee"]})
+    p = tmp_path / "docs0.parquet"
+    pq.write_table(t, str(p))
+    res = curate_corpus(str(p), gopher_kwargs={"min_words": 50},
+                        sample_fraction=0.5)
+    assert res["counts"] == {"input": 2, "quality": 0,
+                             "exact_dedup": 0, "near_dedup": 0,
+                             "sampled": 0}
+    assert res["dataset"].count() == 0
