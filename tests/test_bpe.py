@@ -65,3 +65,34 @@ def test_matches_pinned_fixture(ray_session):
                                       "doc_counts.parquet")) \
         .to_pandas().sort_values("doc_id")
     assert live["n_tokens_bpe"].tolist() == want["n_tokens_bpe"].tolist()
+
+
+def test_pack_with_bpe_tokens(ray_session):
+    """Composition: sequence packing consumes the learned-subword
+    counts (pack_and_group_stats is tokens_col-parameterized)."""
+    from logagent_js_ray.ops.packing import pack_and_group_stats
+    merges = train_bpe(["aaab aaab aaab", "ab ab"], num_merges=3)
+    ds = ray.data.from_items([
+        {"doc_id": i, "text": "aaab ab aab", "lang": "en"}
+        for i in range(8)])
+    ds = count_tokens_bpe(ds, ray.put(merges))
+    out = pack_and_group_stats(ds, tokens_col="n_tokens_bpe",
+                               budget=8, num_buckets=2,
+                               extra_key="lang").to_pandas()
+    lang = out[out.which == "lang"]
+    # 8 docs x 4 bpe tokens each ("aaab"=1, "ab"=1, "aab"=2)
+    assert int(lang.n.iloc[0]) == 8
+    assert int(lang.sum_n_tokens_bpe.iloc[0]) == 32
+    packs = out[out.which == "pack"]
+    assert int(packs.n.sum()) == 8  # every doc assigned one window
+
+
+def test_empty_inputs(ray_session):
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    merges = train_bpe([], num_merges=4)
+    assert merges == []
+    out = count_tokens_bpe(empty, ray.put(merges)).to_pandas()
+    assert len(out) == 0
