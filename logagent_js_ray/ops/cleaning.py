@@ -153,3 +153,31 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     return out.append_column(
         "n_chars_norm",
         pc.cast(pc.fill_null(pc.utf8_length(trimmed), 0), pa.int64()))
+
+
+# --- bad-words blocklist filter (the C4 recipe's "List of Dirty,
+# Naughty, Obscene..." gate, Raffel et al. 2020 appendix) --------------
+
+DEFAULT_BLOCKLIST = ("slow", "spark")  # fixture-vocab stand-in for the
+# real published blocklist (config-injectable, same mechanics)
+
+
+def badwords_pattern(words=DEFAULT_BLOCKLIST) -> str:
+    """One RE2 alternation with word boundaries, shared VERBATIM with
+    the DuckDB oracle (both engines are RE2, so non-overlapping match
+    counts agree exactly). Word-boundary semantics match the corpus's
+    single-space tokenization for alphanumeric blocklist entries."""
+    import re
+    return r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def badwords_filter_batch(batch: pa.Table, text_col: str = "text",
+                          words=DEFAULT_BLOCKLIST) -> pa.Table:
+    """Append ``n_badwords`` (total blocklist hits) and ``badwords_ok``
+    (True iff zero hits — C4 drops any page with a single hit). Pure
+    vectorized kernel pass, no shuffle."""
+    pat = badwords_pattern(words)
+    n = pc.count_substring_regex(batch[text_col], pat)
+    n = pc.cast(pc.fill_null(n, 0), pa.int64())
+    return batch.append_column("n_badwords", n) \
+        .append_column("badwords_ok", pc.equal(n, 0))

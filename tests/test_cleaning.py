@@ -126,3 +126,21 @@ def test_normalize_keeps_unicode_whitespace():
     t = pa.table({"text": ["a\u00a0b   c"]})
     out = normalize_text_batch(t)["text_norm"].to_pylist()[0]
     assert out == "a\u00a0b c"
+
+
+def test_badwords_filter(ray_session):
+    import pyarrow as pa
+    from logagent_js_ray.ops.cleaning import (badwords_filter_batch,
+                                              badwords_pattern)
+    b = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["all clean words here",
+                           "a slow day",
+                           "slow spark slow",
+                           "slowly sparks"]})  # boundaries: no hits
+    out = badwords_filter_batch(b)
+    assert out["n_badwords"].to_pylist() == [0, 1, 3, 0]
+    assert out["badwords_ok"].to_pylist() == [True, False, False, True]
+    # custom list + regex metachars are escaped
+    out2 = badwords_filter_batch(b, words=("a.b", "day"))
+    assert out2["n_badwords"].to_pylist() == [0, 1, 0, 0]
+    assert r"\b(?:slow|spark)\b" == badwords_pattern()
