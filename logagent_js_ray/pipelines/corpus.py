@@ -151,6 +151,7 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
                   jaccard_threshold: tuple = (1, 3),
                   decontam_k: int = 5,
                   scale: str = "standard",
+                  badwords: tuple | None = None,
                   lm_reference: "ray.data.Dataset | None" = None,
                   lm_keep: tuple = ("head", "middle"),
                   exact_substr: bool = False,
@@ -177,6 +178,9 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     individually oracle-checked operator; all default OFF, leaving the
     driver-checked base chain byte-identical):
 
+      * ``badwords`` — C4 blocklist gate right after the Gopher gate
+        (ops/cleaning.badwords_filter_batch): drop any document with a
+        single blocklist hit. Per-batch kernel, no shuffle.
       * ``lm_reference`` — CCNet LM quality filter after the Gopher
         gate (ops/lm_quality): train the integer bigram LM on the
         reference, bucket by the reference's own percentile cutoffs,
@@ -205,6 +209,18 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         .select_columns(in_cols) \
         .map_batches(_counted(acc, "quality", id_col),
                      batch_format="pyarrow")
+
+    # 1a. C4 bad-words blocklist gate (per-batch kernel, no shuffle)
+    if badwords is not None:
+        from ..ops.cleaning import badwords_filter_batch
+        ds = ds.map_batches(
+            lambda b, w=tuple(badwords): badwords_filter_batch(b,
+                                                               words=w),
+            batch_format="pyarrow") \
+            .filter(expr="badwords_ok == True") \
+            .select_columns(in_cols) \
+            .map_batches(_counted(acc, "badwords", id_col),
+                         batch_format="pyarrow")
 
     # 1b. CCNet LM quality filter (per-batch, no shuffle; the LM and
     # cutoffs are reference-derived broadcast artifacts)
@@ -298,6 +314,7 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
     # a stage that dropped EVERY row posted no partials — it must
     # still report 0 (a zero-surviving stage is not a disabled stage)
     enabled = (["quality"]
+               + (["badwords"] if badwords is not None else [])
                + (["lm_quality"] if lm_reference is not None else [])
                + (["decontaminated"] if bench is not None else [])
                + (["substr"] if exact_substr else [])
@@ -306,7 +323,8 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
                + (["dsir"] if dsir_target is not None else []))
     for st in enabled:
         counts.setdefault(st, 0)
-    order = ["input", "quality", "lm_quality", "decontaminated",
-             "exact_dedup", "substr", "near_dedup", "sampled", "dsir"]
+    order = ["input", "quality", "badwords", "lm_quality",
+             "decontaminated", "exact_dedup", "substr", "near_dedup",
+             "sampled", "dsir"]
     counts = {k: counts[k] for k in order if k in counts}
     return {"counts": counts, "dataset": out}

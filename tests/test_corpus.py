@@ -197,3 +197,24 @@ def test_curate_corpus_zero_surviving_stage_reports_zero(ray_session,
                              "exact_dedup": 0, "near_dedup": 0,
                              "sampled": 0}
     assert res["dataset"].count() == 0
+
+
+def test_curate_corpus_badwords_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from logagent_js_ray.pipelines.corpus import curate_corpus
+    base = ("the cat and the dog have that thing to be of note here "
+            "plus some more words to pass the length gate fine")
+    rows = [{"doc_id": i, "text": base + " " + " ".join(
+        f"b{i}c{j}" for j in range(12))} for i in range(6)]
+    rows[2]["text"] += " verboten"
+    rows[4]["text"] += " verboten stuff"
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    p = tmp_path / "docs4.parquet"
+    pq.write_table(t, str(p))
+    res = curate_corpus(str(p), gopher_kwargs={"min_words": 5,
+                                               "min_stop_hits": 2},
+                        jaccard_threshold=(9, 10),
+                        badwords=("verboten",))
+    assert res["counts"]["badwords"] == 4
+    ids = sorted(res["dataset"].to_pandas()["doc_id"])
+    assert 2 not in ids and 4 not in ids and len(ids) == 4
