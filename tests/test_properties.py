@@ -376,3 +376,85 @@ def test_repetition_signals_reference_impl(words):
     assert out["top2gram_char_frac_e6"].to_pylist() == [want_top]
     assert out["dup3gram_char_frac_e6"].to_pylist() == [want_dup]
     assert out["dup_para_frac_e6"].to_pylist() == [0]
+
+
+# --- round-4 operator invariants ------------------------------------
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=12),
+       st.integers(min_value=3, max_value=12))
+def test_substr_span_merge_accounting(texts, min_len):
+    """Window-start span merge: spans are disjoint, ordered, within
+    the doc, and removed_chars == their total length (pure helpers —
+    the distributed paths are brute-force-tested in test_substr)."""
+    import numpy as np
+    from logagent_js_ray.ops.substr import _cut_one, _merge_spans
+    for t in texts:
+        n = len(t)
+        if n < min_len:
+            continue
+        starts = np.arange(0, n - min_len + 1, 1)
+        # arbitrary subset of marked windows via content heuristic
+        marked = starts[[t[s:s + 2] == "ab" for s in starts]] \
+            if n >= 2 else starts[:0]
+        if marked.shape[0] == 0:
+            continue
+        st_, en = _merge_spans(marked, min_len)
+        assert (st_[1:] > en[:-1] - 1).all()  # islands break on gap>L
+        assert (en - st_ >= min_len).all()
+        assert en[-1] <= n and st_[0] >= 0
+        clean = _cut_one(t, st_, en)
+        assert len(clean) == n - int((en - st_).sum())
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.dictionaries(IDENT, st.integers(min_value=0, max_value=10**9),
+                       min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=10**6))
+def test_apportion_budget_invariants(counts, budget):
+    from logagent_js_ray.ops.sampling import apportion_budget
+    alloc = apportion_budget(counts, budget)
+    total = sum(counts.values())
+    if total == 0 or budget <= 0:
+        assert all(v == 0 for v in alloc.values())
+        return
+    assert sum(alloc.values()) == budget
+    for k, c in counts.items():
+        # within 1 of the exact proportional share (Hamilton property)
+        assert abs(alloc[k] - budget * c / total) < 1 + 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.from_regex(r"[ab]{1,12}", fullmatch=True),
+                min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=12))
+def test_bpe_encode_invariants(words, num_merges):
+    """Encoding never produces more symbols than characters, always
+    concatenates back to the word, and trained merges only shrink."""
+    from logagent_js_ray.ops.bpe import encode_word, train_bpe
+    merges = train_bpe([" ".join(words)], num_merges=num_merges)
+    rank = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        toks = encode_word(w, rank)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=100),
+       st.integers(min_value=1, max_value=100))
+def test_bm25_contribution_bounds(tfs, sd_scale, nd):
+    """Each integer BM25 term contribution is nonnegative for
+    nonnegative idf and bounded by idf * (k1+1) = idf * 11/5."""
+    from logagent_js_ray.ops.retrieval import idf_milli
+    sd = 100 * sd_scale
+    for tf in (abs(v) % 50 + 1 for v in tfs):
+        for df in (0, 1, nd // 2, nd):
+            idf = idf_milli(min(df, nd), nd)
+            dl = 40
+            contrib = (idf * tf * 22 * sd) \
+                // (10 * sd * tf + 3 * sd + 9 * dl * nd)
+            assert 0 <= contrib <= (idf * 11) // 5 + 1
