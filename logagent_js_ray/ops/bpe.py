@@ -13,16 +13,20 @@ fixture reimplementation (fixtures/gen.ensure_bpe) must produce the
 identical merge list and per-doc token counts.
 
 Scale design (100 TB): tokenizer TRAINING is a model-artifact job over
-the small trusted reference corpus (the CCNet-LM/.arpa regime) — texts
-collect to the driver, bounded by design, and the merge table ships
-once via ``ray.put``. ENCODING is the corpus-scale half: a stateless
-``map_batches`` pass with a per-worker word→tokens cache (zipfian text
-makes the cache hit rate high; the MinHasher token-cache precedent),
-no shuffle anywhere.
+the reference corpus — but the driver only ever holds the WORD
+FREQUENCY table, bounded by the reference vocabulary, never raw texts:
+per-block (word, count) partials -> hash-partitioned ``tree_merge``
+-> one small driver dict (round-4 verdict item #3; the previous
+``take_all()`` of texts materialized the whole reference on the
+driver). The merge table ships once via ``ray.put``. ENCODING is the
+corpus-scale half: a stateless ``map_batches`` pass with a per-worker
+word→tokens cache (zipfian text makes the cache hit rate high; the
+MinHasher token-cache precedent), no shuffle anywhere.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -33,21 +37,47 @@ from . import resolve_broadcast
 # encoder state per merges ref: (rank dict, per-worker word cache)
 _ENC_STATE: dict = {}
 
+_WORD_SCHEMA = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+
+def _word_count_rows(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-block (word, count) partial over the single-space tokenizer
+    (empty words dropped — they carry no merge pairs). Pinned empty
+    schema: an empty pandas groupby would emit double-typed columns
+    (the _bigram_rows precedent in ops/lm_quality)."""
+    words = []
+    for t in batch[text_col].to_pylist():
+        words.extend(w for w in (t or "").split(" ") if w)
+    if not words:
+        return _WORD_SCHEMA.empty_table()
+    g = pd.DataFrame({"w": words}).groupby("w", as_index=False).size() \
+        .rename(columns={"size": "c"})
+    return pa.Table.from_pandas(g, preserve_index=False) \
+        .cast(_WORD_SCHEMA)
+
 
 def train_bpe(ref, num_merges: int = 64,
               text_col: str = "text") -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules from the reference corpus
     (a Dataset or an iterable of strings). Returns the ranked merge
-    list — a small driver-held artifact."""
-    if isinstance(ref, ray.data.Dataset):
-        texts = [r[text_col] for r in ref.take_all()]
-    else:
-        texts = list(ref)
+    list — a small driver-held artifact. Dataset input never reaches
+    the driver as text: only the merged word-frequency table does
+    (bounded by vocabulary, not corpus size)."""
     word_freq: dict[tuple, int] = {}
-    for t in texts:
-        for w in (t or "").split(" "):
-            if w:
-                word_freq[tuple(w)] = word_freq.get(tuple(w), 0) + 1
+    if isinstance(ref, ray.data.Dataset):
+        from ..stages.aggregate import tree_merge
+        partials = ref.map_batches(_word_count_rows,
+                                   batch_format="pyarrow",
+                                   fn_kwargs={"text_col": text_col})
+        wc = tree_merge(partials, ["w"], {"c": "sum"},
+                        partition_by_key=16).to_pandas()
+        for w, c in zip(wc["w"], wc["c"]):
+            word_freq[tuple(w)] = int(c)
+    else:
+        for t in ref:
+            for w in (t or "").split(" "):
+                if w:
+                    word_freq[tuple(w)] = word_freq.get(tuple(w), 0) + 1
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: dict[tuple, int] = {}

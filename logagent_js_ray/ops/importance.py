@@ -26,6 +26,17 @@ Scale design (100 TB):
     top-k is inherently a global order; for approximate selection at
     extreme scale compute a score threshold from ops/sketches.
     approx_quantiles and filter instead (documented trade).
+
+Hash modes (round-4 verdict item #2): ``hashed="md5"`` is the
+SQL-expressible oracle contract above; ``hashed="poly"`` is the scale
+mode — the same uint64 polynomial rolling-hash machinery as
+ops/substr (vectorized over one concatenated utf-32 codepoint buffer,
+zero per-gram Python), bucketed by a Fibonacci mix. Bucket ASSIGNMENT
+differs between modes (a declared approximation, the hashed_shingles
+precedent); gram EXTRACTION is identical — a token span hash covers
+exactly the ``w1 + ' ' + w2`` characters, so equal grams collide
+across documents exactly as in md5 mode. Profile and scoring must use
+the same mode. Measured A/B in BASELINE.md (~25x on sf0.1 documents).
 """
 
 from __future__ import annotations
@@ -67,11 +78,82 @@ def _bucket_counts_batch(batch: pa.Table, text_col: str) -> pa.Table:
                      "c": pa.array(counts[nz])})
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci mix before % BUCKETS
+
+
+def poly_gram_buckets(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (bucket, doc_index) for every unigram + space-joined
+    bigram of every text — the ``hashed="poly"`` gram extractor.
+
+    Same gram DEFINITION as :func:`_grams` (``.split(" ")`` tokens,
+    empties included): a token is a maximal possibly-empty span between
+    spaces/document edges, and the bigram ``w1 + ' ' + w2`` is exactly
+    the contiguous character span from w1's start to w2's end, so one
+    position-independent polynomial span hash (the ops/substr formula
+    over a shared prefix-sum array) covers both gram kinds with zero
+    per-gram Python. Empty tokens hash to 0 consistently (md5 mode
+    gives them one shared bucket too — the md5('') bucket)."""
+    from .substr import _B, _BINV, _pows
+    ndocs = len(texts)
+    lens = np.array([len(t or "") for t in texts], np.int64)
+    buf = np.frombuffer("".join(t or "" for t in texts)
+                        .encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = buf.shape[0]
+    doc_of_char = np.repeat(np.arange(ndocs), lens)
+    doc_ends = np.cumsum(lens)
+    doc_starts = doc_ends - lens
+    sp = np.flatnonzero(buf == np.uint64(32))        # space positions
+    sp_doc = doc_of_char[sp] if sp.shape[0] else sp
+    # token k of doc d: k-th smallest start pairs with k-th smallest
+    # end inside d (both lists have spaces_in_doc+1 entries per doc;
+    # lexsort by (doc, pos) disambiguates a space that ends one doc
+    # flush against the next doc's start)
+    starts_all = np.concatenate([doc_starts, sp + 1])
+    starts_doc = np.concatenate([np.arange(ndocs), sp_doc])
+    ends_all = np.concatenate([sp, doc_ends])
+    ends_doc = np.concatenate([sp_doc, np.arange(ndocs)])
+    tok_start = starts_all[np.lexsort((starts_all, starts_doc))]
+    order_e = np.lexsort((ends_all, ends_doc))
+    tok_end = ends_all[order_e]
+    tok_doc = ends_doc[order_e]
+    # span hash H([s,e)) = (P[e]-P[s]) * B^(e-1)  (ops/substr formula;
+    # empty span -> 0 regardless of the power factor)
+    p = np.zeros(n + 1, np.uint64)
+    np.cumsum(buf * _pows(_BINV, n) if n else buf, out=p[1:])
+    bpow = _pows(_B, n + 1)
+
+    def span_hash(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+        return (p[e] - p[s]) * bpow[np.maximum(e, 1) - 1]
+
+    uni_h = span_hash(tok_start, tok_end)
+    same = tok_doc[:-1] == tok_doc[1:] if tok_doc.shape[0] else \
+        np.zeros(0, bool)
+    bi_h = span_hash(tok_start[:-1][same], tok_end[1:][same])
+    h = np.concatenate([uni_h, bi_h])
+    doc_ix = np.concatenate([tok_doc, tok_doc[:-1][same]])
+    bucket = (((h * _MIX) >> np.uint64(33))
+              % np.uint64(BUCKETS)).astype(np.int64)
+    return bucket, doc_ix
+
+
+def _poly_bucket_counts_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    bucket, _ = poly_gram_buckets(batch[text_col].to_pylist())
+    counts = np.bincount(bucket, minlength=BUCKETS)
+    nz = np.flatnonzero(counts)
+    return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                     "c": pa.array(counts[nz].astype(np.int64))})
+
+
 def hashed_gram_profile(ds: "ray.data.Dataset",
-                        text_col: str = "text") -> np.ndarray:
+                        text_col: str = "text",
+                        hashed: str = "md5") -> np.ndarray:
     """Per-bucket gram-instance counts over the dataset (len-4096
-    int64 array). Bounded key space -> default tree_merge fan-in."""
-    partials = ds.map_batches(_bucket_counts_batch, batch_format="pyarrow",
+    int64 array). Bounded key space -> default tree_merge fan-in.
+    ``hashed``: "md5" (oracle contract) or "poly" (vectorized scale
+    mode; see module docstring)."""
+    fn = {"md5": _bucket_counts_batch,
+          "poly": _poly_bucket_counts_batch}[hashed]
+    partials = ds.map_batches(fn, batch_format="pyarrow",
                               fn_kwargs={"text_col": text_col})
     df = tree_merge(partials, ["bucket"], {"c": "sum"}).to_pandas()
     out = np.zeros(BUCKETS, np.int64)
@@ -95,10 +177,12 @@ def dsir_log_weights(target_counts: np.ndarray,
 
 def add_importance_weight(ds: "ray.data.Dataset", weights: np.ndarray,
                           text_col: str = "text",
-                          out_col: str = "dsir_w") -> "ray.data.Dataset":
+                          out_col: str = "dsir_w",
+                          hashed: str = "md5") -> "ray.data.Dataset":
     """Append the int64 document score: sum of the bucket weight over
     every gram INSTANCE (occurrences count, as in the bag-of-hashed-
-    grams generative model)."""
+    grams generative model). ``hashed`` must match the mode the
+    ``weights`` profiles were built with."""
     w = np.asarray(weights, np.int64)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -110,21 +194,33 @@ def add_importance_weight(ds: "ray.data.Dataset", weights: np.ndarray,
             out[i] = s
         return batch.append_column(out_col, pa.array(out))
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    def score_poly(batch: pa.Table) -> pa.Table:
+        bucket, doc_ix = poly_gram_buckets(batch[text_col].to_pylist())
+        # per-doc weight sums: one bincount over float64 weights —
+        # |sum| < 2^53 by construction (milli-nat weights x gram count),
+        # so the float accumulation is exact
+        out = np.bincount(doc_ix, weights=w[bucket].astype(np.float64),
+                          minlength=batch.num_rows).astype(np.int64)
+        return batch.append_column(out_col, pa.array(out))
+
+    fn = {"md5": score, "poly": score_poly}[hashed]
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def dsir_select(ds: "ray.data.Dataset", target: "ray.data.Dataset",
                 text_col: str = "text", id_col: str = "doc_id",
-                keep_denominator: int = 4) -> "ray.data.Dataset":
+                keep_denominator: int = 4,
+                hashed: str = "md5") -> "ray.data.Dataset":
     """End-to-end DSIR: profile target + raw, score, keep the exact
     top n//keep_denominator documents by (score DESC, id ASC).
     Materializes ``ds`` internally — the raw profile, count and sort
     each consume it, and re-executing a compute-carrying upstream
     chain three times would dwarf one object-store residency."""
     ds = ds.materialize()
-    weights = dsir_log_weights(hashed_gram_profile(target, text_col),
-                               hashed_gram_profile(ds, text_col))
-    scored = add_importance_weight(ds, weights, text_col)
+    weights = dsir_log_weights(
+        hashed_gram_profile(target, text_col, hashed=hashed),
+        hashed_gram_profile(ds, text_col, hashed=hashed))
+    scored = add_importance_weight(ds, weights, text_col, hashed=hashed)
     k = ds.count() // keep_denominator
     return scored.sort(["dsir_w", id_col],
                        descending=[True, False]).limit(k)
@@ -135,7 +231,8 @@ def dsir_select_threshold(ds: "ray.data.Dataset",
                           text_col: str = "text",
                           id_col: str = "doc_id",
                           keep_fraction: float = 0.25,
-                          m: int = 4096) -> "ray.data.Dataset":
+                          m: int = 4096,
+                          hashed: str = "md5") -> "ray.data.Dataset":
     """Approximate DSIR selection for extreme scale: instead of the
     exact top-k's global sort, estimate the (1 - keep_fraction) score
     quantile with the mergeable weighted-sample sketch
@@ -145,9 +242,16 @@ def dsir_select_threshold(ds: "ray.data.Dataset",
     sketch's rank error (declared); ordering within the kept set is
     irrelevant to training-data selection."""
     from .sketches import approx_quantiles
-    weights = dsir_log_weights(hashed_gram_profile(target, text_col),
-                               hashed_gram_profile(ds, text_col))
-    scored = add_importance_weight(ds, weights, text_col).materialize()
+    # the raw profile and the scoring pass both consume ds — hold it
+    # in the object store once instead of re-executing any
+    # compute-carrying upstream chain (dsir_select's rationale; was
+    # missing here, round-4 ADVICE item #2)
+    ds = ds.materialize()
+    weights = dsir_log_weights(
+        hashed_gram_profile(target, text_col, hashed=hashed),
+        hashed_gram_profile(ds, text_col, hashed=hashed))
+    scored = add_importance_weight(ds, weights, text_col,
+                                   hashed=hashed).materialize()
     q = approx_quantiles(scored, "dsir_w", qs=(1.0 - keep_fraction,),
                          m=m)
     thr = int(q["value"].iloc[0])

@@ -33,6 +33,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -84,6 +85,8 @@ def train_bigram_lm(ref_ds: "ray.data.Dataset",
 
 
 def _doc_cost(text: str, lm: dict) -> tuple[int, int]:
+    """Scalar reference scorer — the semantics contract the vectorized
+    path must reproduce exactly (kept for tests/fixtures)."""
     w = (text or "").split(" ")
     total = 0
     bigram, ctx, oov = lm["bigram"], lm["ctx"], lm["oov"]
@@ -96,19 +99,100 @@ def _doc_cost(text: str, lm: dict) -> tuple[int, int]:
     return total, len(w) - 1
 
 
+# per-worker compiled-LM cache keyed by the broadcast ref (the
+# _ENC_STATE pattern in ops/bpe): arrays built once per worker process
+_LM_STATE: dict = {}
+
+
+def _compiled_lm(lm_ref):
+    """int-coded arrays from the lm dict (round-4 verdict item #7):
+    vocab (sorted Arrow array for pc.index_in), per-code context cost
+    (ctx.get(word, oov) — words never seen as context fall back to the
+    oov cost, matching _doc_cost), and a SORTED int64 bigram key table
+    ``code(w1) * V + code(w2)`` with costs for np.searchsorted lookup.
+    Bounded by the reference vocabulary."""
+    state = _LM_STATE.get(lm_ref)
+    if state is not None:
+        return state
+    if len(_LM_STATE) > 4:
+        _LM_STATE.clear()
+    lm = resolve_broadcast(lm_ref)
+    vocab = sorted({w for pair in lm["bigram"] for w in pair}
+                   | set(lm["ctx"]))
+    code = {w: i for i, w in enumerate(vocab)}
+    v = len(vocab)
+    oov = int(lm["oov"])
+    ctx_cost = np.full(max(v, 1), oov, np.int64)
+    for w, c in lm["ctx"].items():
+        ctx_cost[code[w]] = c
+    keys = np.empty(len(lm["bigram"]), np.int64)
+    costs = np.empty(len(lm["bigram"]), np.int64)
+    for i, ((w1, w2), c) in enumerate(lm["bigram"].items()):
+        keys[i] = code[w1] * v + code[w2]
+        costs[i] = c
+    order = np.argsort(keys)
+    state = (pa.array(vocab, pa.string()), v, oov, ctx_cost,
+             keys[order], costs[order])
+    _LM_STATE[lm_ref] = state
+    return state
+
+
 def score_cross_entropy(ds: "ray.data.Dataset", lm_ref,
                         text_col: str = "text",
                         out_col: str = "ce_milli") -> "ray.data.Dataset":
     """Append floor(total_cost / n_bigrams) milli-nats per token (int64;
-    0 when the doc has < 2 tokens). ``lm_ref`` = ray.put(lm dict)."""
+    0 when the doc has < 2 tokens). ``lm_ref`` = ray.put(lm dict).
+
+    Vectorized (no per-bigram Python): tokens split with the Arrow
+    kernel (``pc.split_pattern(text, ' ')`` — byte-identical to the
+    repo's single-space contract), int-coded via ``pc.index_in``
+    against the compiled vocab, bigram costs looked up by binary search
+    on the sorted ``w1*V + w2`` key table, per-doc totals via one
+    ``np.bincount``. Costs are < 2^53 so the float64 bincount
+    accumulation is exact; output matches _doc_cost bit-for-bit
+    (asserted in tests)."""
 
     def score(batch: pa.Table) -> pa.Table:
-        lm = resolve_broadcast(lm_ref)
-        out = np.empty(batch.num_rows, np.int64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            total, n = _doc_cost(t, lm)
-            out[i] = total // n if n > 0 else 0
-        return batch.append_column(out_col, pa.array(out))
+        vocab, v, oov, ctx_cost, bkeys, bcosts = _compiled_lm(lm_ref)
+        nrows = batch.num_rows
+        if nrows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        codes = pc.index_in(flat, value_set=vocab)
+        codes = pc.fill_null(codes, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # ListArray offsets may start past 0 on sliced inputs
+        n_toks = np.diff(offs)
+        doc_of_tok = np.repeat(np.arange(nrows), n_toks)
+        codes = codes[offs[0]:offs[-1]]
+        same = doc_of_tok[:-1] == doc_of_tok[1:] if codes.shape[0] else \
+            np.zeros(0, bool)
+        w1 = codes[:-1][same]
+        w2 = codes[1:][same]
+        bd = doc_of_tok[:-1][same]
+        key = w1 * v + w2
+        if bkeys.shape[0]:
+            posc = np.minimum(np.searchsorted(bkeys, key),
+                              bkeys.shape[0] - 1)
+            hit = (w1 >= 0) & (w2 >= 0) & (bkeys[posc] == key)
+            bc = bcosts[posc]
+        else:  # LM with no trained bigrams: everything falls back
+            hit = np.zeros(key.shape[0], bool)
+            bc = np.zeros(key.shape[0], np.int64)
+        cost = np.where(hit, bc,
+                        np.where(w1 >= 0, ctx_cost[np.maximum(w1, 0)],
+                                 oov))
+        total = np.bincount(bd, weights=cost.astype(np.float64),
+                            minlength=nrows).astype(np.int64)
+        nb = n_toks - 1  # bigrams per doc == len(w) - 1 (w never empty)
+        out = np.where(nb > 0, total // np.maximum(nb, 1), 0)
+        return batch.append_column(out_col,
+                                   pa.array(out.astype(np.int64)))
 
     return ds.map_batches(score, batch_format="pyarrow")
 

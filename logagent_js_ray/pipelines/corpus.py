@@ -109,15 +109,38 @@ def _count_key(b: pa.Table, id_col: str) -> str:
     return h.hexdigest()
 
 
-def _counted(acc, stage: str, id_col: str):
-    """Pass-through batch fn that reports surviving rows for ``stage``.
-    The add is BLOCKING so downstream materialization returning implies
-    every partial landed (fire-and-forget would race totals())."""
+def counter_pool(n: int = 4) -> list:
+    """N zero-CPU StageCounter shards (round-4 verdict item #6): every
+    batch routes its count to ``shards[crc32(batch_key) % N]``, so no
+    single actor mailbox sits on the critical path of every batch at
+    scale; totals merge at read (:func:`counter_totals`). Retry safety
+    is preserved — a batch's key always routes to the same shard, so
+    last-write-wins dedup still holds per (stage, key)."""
+    return [StageCounter.remote() for _ in range(n)]
+
+
+def counter_totals(accs) -> dict:
+    """Merged per-stage totals across counter shards."""
+    out: dict[str, int] = {}
+    for t in ray.get([a.totals.remote() for a in accs]):
+        for stage, n in t.items():
+            out[stage] = out.get(stage, 0) + n
+    return out
+
+
+def _counted(accs, stage: str, id_col: str):
+    """Pass-through batch fn that reports surviving rows for ``stage``
+    to the batch-key-hashed counter shard. The add is BLOCKING so
+    downstream materialization returning implies every partial landed
+    (fire-and-forget would race totals())."""
+    import zlib
+    accs = accs if isinstance(accs, list) else [accs]
 
     def fn(b: pa.Table) -> pa.Table:
         if b.num_rows:
-            ray.get(acc.add.remote(stage, _count_key(b, id_col),
-                                   b.num_rows))
+            key = _count_key(b, id_col)
+            shard = accs[zlib.crc32(key.encode()) % len(accs)]
+            ray.get(shard.add.remote(stage, key, b.num_rows))
         return b
     return fn
 
@@ -196,7 +219,7 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         raise ValueError(f"scale must be 'standard' or 'web', got "
                          f"{scale!r}")
     pair_kwargs = dict(WEB_SCALE_PAIR_KWARGS) if scale == "web" else {}
-    acc = StageCounter.remote()
+    acc = counter_pool()
     ds = ray.data.read_parquet(doc_path)
     in_cols = list(ds.schema().names)  # caller columns ALL survive
     counts: dict[str, int] = {"input": ds.count()}  # parquet metadata
@@ -309,8 +332,7 @@ def curate_corpus(doc_path: str, out_dir: str | None = None,
         # writing the materialized blocks recomputes nothing
         out.write_parquet(out_dir, concurrency=write_concurrency(),
                           **PARQUET_WRITE_OPTS)
-    totals = ray.get(acc.totals.remote())
-    counts.update(totals)
+    counts.update(counter_totals(acc))
     # a stage that dropped EVERY row posted no partials — it must
     # still report 0 (a zero-surviving stage is not a disabled stage)
     enabled = (["quality"]

@@ -61,3 +61,50 @@ def test_cube_accumulator_retry_dedup(ray_session):
     merged = ray.get(acc.merged.remote())
     assert ray.get(acc.n_batches.remote()) == 2
     assert merged["n"].sum() == 10  # 5 + 5, not 15
+
+
+def test_sql_select_avg_where_having(ray_session):
+    """General sql-output-filter SELECT (sql.js:29-53 parity): WHERE
+    pushed upstream of the partials, AVG derived sum/count at the
+    merge, HAVING on the merged result."""
+    import pandas as pd
+
+    import ray.data
+    from logagent_js_ray.stages.aggregate import sql_select
+    rows = [{"path": p, "size": s, "status": st}
+            for p, s, st in [("/a", 10, 200), ("/a", 20, 200),
+                             ("/a", 30, 500), ("/b", 100, 200),
+                             ("/b", None, 200), ("/c", 7, 404)]]
+    ds = ray.data.from_items(rows)
+    out = sql_select(ds, ["path"],
+                     {"n": ("count", None), "total": ("sum", "size"),
+                      "avg_size": ("avg", "size"),
+                      "max_size": ("max", "size")},
+                     where="status == 200").to_pandas() \
+        .sort_values("path").reset_index(drop=True)
+    want = pd.DataFrame({
+        "path": ["/a", "/b"], "n": [2, 2], "total": [30, 100],
+        # AVG skips nulls (SQL semantics): /b = 100/1
+        "avg_size": [15.0, 100.0], "max_size": [20, 100]})
+    assert out["path"].tolist() == want["path"].tolist()
+    assert out["n"].tolist() == want["n"].tolist()
+    assert out["total"].tolist() == want["total"].tolist()
+    assert out["avg_size"].tolist() == want["avg_size"].tolist()
+    assert out["max_size"].tolist() == want["max_size"].tolist()
+    had = sql_select(ds, ["path"], {"n": ("count", None)},
+                     having="n > 1").to_pandas()
+    assert sorted(had["path"]) == ["/a", "/b"]  # /c filtered by HAVING
+
+
+def test_sql_select_count_only_empty(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from logagent_js_ray.stages.aggregate import sql_select
+    empty = ray.data.from_arrow(pa.table({
+        "path": pa.array([], pa.string()),
+        "size": pa.array([], pa.int64())}))
+    out = sql_select(empty, ["path"], {"n": ("count", None),
+                                       "avg_size": ("avg", "size")}) \
+        .to_pandas()
+    assert len(out) == 0

@@ -87,6 +87,22 @@ def test_pack_with_bpe_tokens(ray_session):
     assert int(packs.n.sum()) == 8  # every doc assigned one window
 
 
+def test_dataset_training_matches_iterable(ray_session):
+    """The bounded (word, count)-partials Dataset path (round-4 verdict
+    item #3: no take_all of texts) must learn the identical merge list
+    as the driver-side iterable path."""
+    texts = ["aaab aaab ab", "the cat  sat", "", "ab aaab the the",
+             "naïve naïve café"]
+    want = train_bpe(texts, num_merges=8)
+    ds = ray.data.from_items([{"text": t} for t in texts])
+    assert train_bpe(ds, num_merges=8) == want
+    # empty Dataset trains an empty merge table through the same path
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({"text": pa.array([],
+                                                           pa.string())}))
+    assert train_bpe(empty, num_merges=4) == []
+
+
 def test_empty_inputs(ray_session):
     import pyarrow as pa
     empty = ray.data.from_arrow(pa.table({

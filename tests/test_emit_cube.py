@@ -17,3 +17,28 @@ def test_emit_cube_equals_readback(ray_session, sf_small,
     b = b.sort_values(key).reset_index(drop=True)[key + ["n", "sum_size"]]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["n"].sum() == 5000
+
+
+def test_sharded_cube_accumulator_equals_readback(ray_session, sf_small,
+                                                  tool_catalog_path):
+    """Sharded CubeAccumulator pool (round-4 verdict item #6): the
+    accumulator-fed cube from a sharded pool must equal the read-back
+    cube, with the partials genuinely split across shards."""
+    import ray
+
+    from logagent_js_ray.pipelines.flagship import (aggregate_cube,
+                                                    build_routed)
+    from logagent_js_ray.pipelines.fused import cube_pool, merged_cube
+    accs = cube_pool(3)
+    routed = build_routed(sf_small, tool_catalog=tool_catalog_path,
+                          acc=accs)
+    want = aggregate_cube(routed).to_pandas()  # consumes the pipeline
+    got = merged_cube(accs)
+    key = ["sink", "role", "tool", "time_bucket"]
+    want = want.sort_values(key).reset_index(drop=True)[key +
+                                                        ["n", "sum_size"]]
+    got = got.sort_values(key).reset_index(drop=True)[key +
+                                                      ["n", "sum_size"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    n_parts = ray.get([a.n_batches.remote() for a in accs])
+    assert sum(n_parts) >= 2 and sum(1 for n in n_parts if n) >= 2

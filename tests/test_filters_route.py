@@ -146,3 +146,36 @@ def test_grep_and_drop_handle_empty_batch():
                       "text": pa.array([], pa.string())})
     assert make_grep_fn(include="x")(empty).num_rows == 0
     assert make_drop_events_fn(include={"text": "x"})(empty).num_rows == 0
+
+
+def test_parse_receiver_list():
+    """parser.js:8-29 rebuild: comma-separated url/index entries;
+    non-matching entries map to None exactly like the reference."""
+    from logagent_js_ray.stages.route import parse_receiver_list
+    assert parse_receiver_list(None) is None
+    assert parse_receiver_list("") is None
+    got = parse_receiver_list(
+        "http://host-a:9200/logs-a,https://host-b/audit-YYYY.MM,garbage")
+    assert got == [{"url": "http://host-a:9200", "index": "logs-a"},
+                   {"url": "https://host-b", "index": "audit-YYYY.MM"},
+                   None]
+
+
+def test_route_fanout_dict_receivers_carry_url():
+    import datetime
+
+    import pyarrow as pa
+    from logagent_js_ray.stages.route import make_fanout_fn
+    b = pa.table({
+        "sink": pa.array(["primary", "primary"], pa.string()),
+        "@timestamp": pa.array([datetime.datetime(2024, 3, 7)] * 2,
+                               pa.timestamp("us"))})
+    fan = make_fanout_fn([{"url": "http://h1", "index": "logs-a"},
+                          {"url": "http://h2", "index": "audit-YYYY.MM"}])
+    out = fan(b)
+    assert out.num_rows == 6  # primary + 2 receivers per row
+    assert out["sink"].to_pylist() == (
+        ["primary"] * 2 + ["logs-a"] * 2 + ["audit-2024.03"] * 2)
+    # the receiver url rides along per row; primary rows carry null
+    assert out["receiver_url"].to_pylist() == (
+        [None] * 2 + ["http://h1"] * 2 + ["http://h2"] * 2)

@@ -91,6 +91,77 @@ def test_weights_match_pinned_fixture(ray_session):
     assert np.array_equal(live, fx["w"].to_numpy())
 
 
+def poly_hash(s: str) -> int:
+    """Scalar reference for the vectorized span hash: standard Horner
+    polynomial, first char at the highest power (the ops/substr
+    formula reduces to this for any span)."""
+    h = 0
+    for ch in s:
+        h = (h * 0x100000001B3 + ord(ch)) % (1 << 64)
+    return h
+
+
+def poly_bucket(g: str) -> int:
+    return ((poly_hash(g) * 0x9E3779B97F4A7C15) % (1 << 64) >> 33) % BUCKETS
+
+
+POLY_EDGE_TEXTS = ["the cat sat", "", "a  b", " leading", "trailing ",
+                   "  ", "naïve café über-token 日本語 テスト", None,
+                   "single", "the the the"]
+
+
+def test_poly_gram_buckets_match_scalar():
+    from logagent_js_ray.ops.importance import poly_gram_buckets
+    texts = POLY_EDGE_TEXTS
+    bucket, doc_ix = poly_gram_buckets(texts)
+    # per-doc expected multiset of buckets from the scalar reference
+    want: list[list[int]] = []
+    for t in texts:
+        want.append(sorted(poly_bucket(g) for g in _grams(t or "")))
+    got: dict[int, list] = {i: [] for i in range(len(texts))}
+    for b, d in zip(bucket.tolist(), doc_ix.tolist()):
+        got[d].append(b)
+    for i in range(len(texts)):
+        assert sorted(got[i]) == want[i], f"doc {i}: {texts[i]!r}"
+
+
+def test_poly_gram_buckets_empty_batch():
+    from logagent_js_ray.ops.importance import poly_gram_buckets
+    bucket, doc_ix = poly_gram_buckets([])
+    assert bucket.shape == (0,) and doc_ix.shape == (0,)
+
+
+def test_poly_profile_total_and_select(ray_session):
+    """Poly mode preserves gram COUNTS (same grams, different buckets)
+    and the end-to-end selection contract (exact top n//k)."""
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in
+                              enumerate(TEXTS)])
+    md5_prof = hashed_gram_profile(ds)
+    poly_prof = hashed_gram_profile(ds, hashed="poly")
+    assert md5_prof.sum() == poly_prof.sum()  # same gram instances
+    tgt = ray.data.from_items([{"text": "the cat sat"}] * 2)
+    kept = dsir_select(ds, tgt, keep_denominator=4,
+                       hashed="poly").to_pandas()
+    assert len(kept) == len(TEXTS) // 4
+    # cat docs dominate any target made of cat grams in either mode
+    assert set(kept.doc_id) <= {0, 2, 4}
+
+
+def test_poly_scoring_matches_manual_weights(ray_session):
+    """score = sum over gram instances of w[bucket] — verified against
+    the scalar poly reference on edge-case texts."""
+    texts = [t for t in POLY_EDGE_TEXTS if t is not None]
+    ds = ray.data.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(texts)])
+    rng = np.random.RandomState(7)
+    w = rng.randint(-5000, 5000, BUCKETS).astype(np.int64)
+    got = add_importance_weight(ds, w, hashed="poly").to_pandas() \
+        .set_index("doc_id")["dsir_w"]
+    for i, t in enumerate(texts):
+        want = sum(int(w[poly_bucket(g)]) for g in _grams(t))
+        assert got[i] == want, f"doc {i}: {t!r}"
+
+
 def test_threshold_select_approximates_topk(ray_session):
     from logagent_js_ray.ops.importance import dsir_select_threshold
     rng_texts = []

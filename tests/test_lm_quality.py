@@ -69,6 +69,25 @@ def test_cutoffs_and_buckets(ray_session):
     assert set(df.ppl_bucket) <= {"head", "middle", "tail"}
 
 
+def test_vectorized_scorer_matches_scalar(ray_session):
+    """The pc.index_in / searchsorted scorer must reproduce _doc_cost
+    bit-for-bit on edge-case texts (round-4 verdict item #7)."""
+    from logagent_js_ray.ops.lm_quality import _doc_cost
+    lm = train_bigram_lm(ray.data.from_items([{"text": t} for t in REF]))
+    texts = ["the cat sat on the mat", "", "a  b", "the  cat",
+             " leading space", "trailing ", None, "single",
+             "zebra quark unknown words here", "the cat the cat the",
+             "naïve café tokens"]
+    docs = ray.data.from_items([{"doc_id": i, "text": t}
+                                for i, t in enumerate(texts)])
+    got = score_cross_entropy(docs, ray.put(lm)).to_pandas() \
+        .set_index("doc_id")["ce_milli"]
+    for i, t in enumerate(texts):
+        total, n = _doc_cost(t, lm)
+        want = total // n if n > 0 else 0
+        assert got[i] == want, f"doc {i}: {t!r}"
+
+
 def test_lm_matches_pinned_fixture(ray_session):
     import pyarrow.parquet as pq
     from logagent_js_ray.fixtures.gen import ANN_PIN_SF_DIR, ensure_lm

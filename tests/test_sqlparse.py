@@ -1,0 +1,71 @@
+"""SQL-string sql-filter interface (stages/sqlparse.py) — the
+reference's literal ``sql:`` config line (sql.js:29-53) parsed into
+the distributed sql_select plan."""
+
+import pytest
+
+from logagent_js_ray.stages.sqlparse import parse_sql, run_sql
+
+REF_QUERY = "SELECT SUM(size) AS s, path FROM ? GROUP BY path"
+
+
+def test_parse_reference_test_query():
+    # the exact query shape from the reference's own sql-filter test
+    # (test/sql-filter-test.js:14-40)
+    spec = parse_sql(REF_QUERY)
+    assert spec["keys"] == ["path"]
+    assert spec["aggs"] == {"s": ("sum", "size")}
+    assert spec["where"] is None and spec["having"] is None
+
+
+def test_parse_implicit_alias_rejected():
+    # implicit alias (no AS) is out of grammar: loud error
+    with pytest.raises(ValueError, match="unsupported SELECT item"):
+        parse_sql("SELECT path p, count(*) FROM ? GROUP BY path")
+
+
+def test_parse_full_clause_set_explicit():
+    spec = parse_sql(
+        "SELECT path AS p, count(*), AVG(size), MIN(size) AS lo FROM ? "
+        "WHERE status = 200 AND path <> '/x' "
+        "GROUP BY path HAVING n > 1")
+    assert spec["keys"] == ["path"]
+    assert spec["key_aliases"] == {"path": "p"}
+    assert spec["aggs"] == {"n": ("count", None),
+                            "avg_size": ("avg", "size"),
+                            "lo": ("min", "size")}
+    assert spec["where"] == 'status == 200 and path != "/x"'
+    assert spec["having"] == "n > 1"
+
+
+def test_parse_rejects_out_of_grammar():
+    with pytest.raises(ValueError, match="unsupported sql-filter"):
+        parse_sql("DELETE FROM ?")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sql("SELECT path, count(*) FROM ?")
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        parse_sql("SELECT path FROM ? GROUP BY path")
+    with pytest.raises(ValueError, match="LIKE"):
+        parse_sql("SELECT count(*) FROM ? WHERE path LIKE '/a%'")
+    with pytest.raises(ValueError, match="unsupported SELECT item"):
+        parse_sql("SELECT size + 1 FROM ? GROUP BY path")
+
+
+def test_run_sql_end_to_end(ray_session):
+    import ray.data
+    rows = [{"path": p, "size": s, "status": st}
+            for p, s, st in [("/a", 10, 200), ("/a", 20, 200),
+                             ("/a", 30, 500), ("/b", 100, 200),
+                             ("/c", 7, 404)]]
+    ds = ray.data.from_items(rows)
+    out = run_sql(ds, REF_QUERY).to_pandas().sort_values("path")
+    assert out["path"].tolist() == ["/a", "/b", "/c"]
+    assert out["s"].tolist() == [60, 100, 7]
+    out2 = run_sql(
+        ds, "SELECT path AS route, COUNT(*) AS hits, AVG(size) FROM ? "
+            "WHERE status = 200 GROUP BY path HAVING hits > 1") \
+        .to_pandas()
+    assert out2.columns.tolist() == ["route", "hits", "avg_size"]
+    assert out2["route"].tolist() == ["/a"]
+    assert out2["hits"].tolist() == [2]
+    assert out2["avg_size"].tolist() == [15.0]
