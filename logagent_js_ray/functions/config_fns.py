@@ -47,12 +47,17 @@ def resolve_config_value(v):
     if not is_fn_ref(v):
         return v
     name = v[4:] if isinstance(v, str) else v["$fn"]
-    try:
-        return CONFIG_FNS[name]
-    except KeyError:
-        raise KeyError(
-            f"config function {name!r} is not registered; known: "
-            f"{sorted(CONFIG_FNS)}") from None
+    fn = CONFIG_FNS.get(name)
+    if fn is not None:
+        return fn
+    # third-party fallback: "$fn:pkg.mod:callable" dynamic import
+    # (bin/logagent.js:226-277 require-by-module-name; functions/dynamic)
+    from .dynamic import is_dotted_path, load_callable
+    if is_dotted_path(name):
+        return load_callable(name)
+    raise KeyError(
+        f"config function {name!r} is not registered; known: "
+        f"{sorted(CONFIG_FNS)}")
 
 
 def fn_values(fn: Callable, batch: pa.Table) -> pa.Array:

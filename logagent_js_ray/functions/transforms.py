@@ -106,7 +106,16 @@ couchdb_host.derived = {"os_host": pa.string()}
 
 
 def get_transform(name: str):
-    return TRANSFORMS[name]
+    """Registered name, or a ``pkg.mod:callable`` dotted path — the
+    reference's require-by-module-name plugin fallback
+    (bin/logagent.js:226-277; functions/dynamic.py)."""
+    fn = TRANSFORMS.get(name)
+    if fn is not None:
+        return fn
+    from .dynamic import is_dotted_path, load_callable
+    if is_dotted_path(name):
+        return load_callable(name)
+    raise KeyError(name)
 
 
 def register_transform(name: str, fn) -> None:
@@ -134,4 +143,11 @@ def register_filter(name: str, fn) -> None:
 
 
 def get_filter(name: str):
-    return FILTERS[name]
+    """Registered name or ``pkg.mod:callable`` (see get_transform)."""
+    fn = FILTERS.get(name)
+    if fn is not None:
+        return fn
+    from .dynamic import is_dotted_path, load_callable
+    if is_dotted_path(name):
+        return load_callable(name)
+    raise KeyError(name)

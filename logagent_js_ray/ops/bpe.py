@@ -71,8 +71,9 @@ def train_bpe(ref, num_merges: int = 64,
                                    fn_kwargs={"text_col": text_col})
         wc = tree_merge(partials, ["w"], {"c": "sum"},
                         partition_by_key=16).to_pandas()
-        for w, c in zip(wc["w"], wc["c"]):
-            word_freq[tuple(w)] = int(c)
+        if len(wc):  # a fully-empty reference merges to a bare frame
+            for w, c in zip(wc["w"], wc["c"]):
+                word_freq[tuple(w)] = int(c)
     else:
         for t in ref:
             for w in (t or "").split(" "):

@@ -128,6 +128,13 @@ def domain_mixture(ds: "ray.data.Dataset", budget: int,
     from ..stages.aggregate import tree_merge
 
     def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # pin the empty schema: an empty pandas groupby round-trips
+            # double-typed (key, tokens) columns and would mismatch the
+            # tree_merge concat (the _bigram_rows precedent in
+            # ops/lm_quality; round-4 ADVICE item #1)
+            return pa.table({key_col: pa.array([], b[key_col].type),
+                             "tokens": pa.array([], pa.int64())})
         df = pd.DataFrame({
             key_col: b[key_col].to_pylist(),
             "tokens": [len((t or "").split(" "))

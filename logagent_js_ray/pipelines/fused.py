@@ -25,6 +25,7 @@ hatch — a shared mutable aggregate fed from inside a streaming pass.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -66,6 +67,29 @@ class CubeAccumulator:
 
     def n_batches(self) -> int:
         return len(self.parts)
+
+
+def cube_pool(n: int = 4) -> list:
+    """N zero-CPU CubeAccumulator shards (round-4 verdict item #6):
+    batches route by crc32(batch key) so no single actor mailbox is on
+    every batch's critical path at scale; a batch key always lands on
+    the same shard, so retry dedup (last-write-wins per key) holds."""
+    return [CubeAccumulator.remote() for _ in range(n)]
+
+
+def merged_cube(accs) -> pd.DataFrame:
+    """Merged cube across accumulator shards (or one plain actor)."""
+    accs = accs if isinstance(accs, list) else [accs]
+    parts = [p for p in ray.get([a.merged.remote() for a in accs])
+             if len(p)]
+    if not parts:
+        return pd.DataFrame(columns=CUBE_KEYS + ["n", "sum_size"])
+    allp = pd.concat(parts, ignore_index=True)
+    g = allp.groupby(CUBE_KEYS, dropna=False, sort=False)
+    return pd.DataFrame({
+        "n": g["n"].sum(),
+        "sum_size": g["sum_size"].sum(min_count=1),
+    }).reset_index()
 
 
 def _batch_key(batch: pa.Table) -> str:
@@ -127,7 +151,9 @@ class FlagshipStage:
                                  detect_severity=detect_severity)
         self.route_cfg = RouteConfig(routes, default_sink=default_sink,
                                      drop_unmatched=drop_unmatched)
-        self.acc = acc
+        # single handle or a cube_pool list (shard by batch-key hash)
+        self.acc = (acc if acc is None or isinstance(acc, list)
+                    else [acc])
         # driver-read flag shipped via constructor kwargs (see
         # parse.json_enrichment_disabled); None = legacy caller, fall
         # back to this worker's env
@@ -159,10 +185,13 @@ class FlagshipStage:
             }).reset_index()
             # BLOCKING add: write_parquet returning must imply every
             # partial has landed (fire-and-forget would race the
-            # driver's merged() read). Cost is one ~ms actor roundtrip
-            # per 16k-row batch; at larger scale shard accumulators by
-            # key hash to keep the actor off the critical path.
-            ray.get(self.acc.add.remote(_batch_key(batch), part))
+            # driver's merged() read). The accumulator is SHARDED by
+            # batch-key hash (cube_pool), so at scale the ~ms roundtrip
+            # spreads across N mailboxes instead of funneling every
+            # batch through one actor (round-4 verdict item #6).
+            key = _batch_key(batch)
+            shard = self.acc[zlib.crc32(key.encode()) % len(self.acc)]
+            ray.get(shard.add.remote(key, part))
         if self.emit == "cube":
             import pyarrow.compute as pc
             wb = add_time_bucket(b)

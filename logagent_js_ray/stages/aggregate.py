@@ -201,6 +201,88 @@ def agg_counts(ds: "ray.data.Dataset", keys: list[str],
     return tree_merge(partials, keys, spec)
 
 
+def sql_select(ds: "ray.data.Dataset", keys: list[str],
+               aggs: dict[str, tuple],
+               where: str | None = None,
+               having: str | None = None) -> "ray.data.Dataset":
+    """General sql-output-filter SELECT (round-4 verdict item #5 —
+    the reference's alasql accepts arbitrary aggregate queries over
+    the window buffer, lib/plugins/output-filter/sql.js:29-53; the
+    fixed count/sum cube covered only its test query).
+
+    ``aggs``: {out_col: (how, col)} with how in {"count", "sum",
+    "min", "max", "avg"}; ("count", None) is count(*), ("count", c)
+    counts non-null. ``where`` is a Ray filter expression applied
+    UPSTREAM of the per-block partials (predicate pushdown: filtered
+    rows never enter the exchange). ``avg`` stays mergeable as
+    (sum, non-null count) partials and divides at the finish (SQL
+    null semantics — float64 output; callers needing the oracle's
+    integer contract derive from sum/count themselves). ``having``
+    filters the tiny merged result. One partial pass + tree merge —
+    the same no-groupby-aggregate shape as agg_counts."""
+    if where:
+        ds = ds.filter(expr=where)
+    sum_cols = sorted({c for h, c in aggs.values()
+                       if h in ("sum", "avg") and c})
+    cnt_cols = sorted({c for h, c in aggs.values()
+                       if h in ("avg", "count") and c})
+    min_cols = sorted({c for h, c in aggs.values() if h == "min"})
+    max_cols = sorted({c for h, c in aggs.values() if h == "max"})
+    for h, _ in aggs.values():
+        if h not in ("count", "sum", "min", "max", "avg"):
+            raise ValueError(f"unsupported aggregate {h!r}")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        specs = [([], "count_all")]
+        specs += [(c, "sum") for c in sum_cols]
+        specs += [(c, "count") for c in cnt_cols]
+        specs += [(c, "min") for c in min_cols]
+        specs += [(c, "max") for c in max_cols]
+        g = batch.group_by(keys).aggregate(specs)
+        names = {"count_all": "__n"}
+        names.update({f"{c}_sum": f"__sum_{c}" for c in sum_cols})
+        names.update({f"{c}_count": f"__cnt_{c}" for c in cnt_cols})
+        names.update({f"{c}_min": f"__min_{c}" for c in min_cols})
+        names.update({f"{c}_max": f"__max_{c}" for c in max_cols})
+        return g.rename_columns([names.get(c, c)
+                                 for c in g.column_names]) \
+            .combine_chunks()
+
+    spec: dict[str, str] = {"__n": "sum"}
+    spec.update({f"__sum_{c}": "sum" for c in sum_cols})
+    spec.update({f"__cnt_{c}": "sum" for c in cnt_cols})
+    spec.update({f"__min_{c}": "min" for c in min_cols})
+    spec.update({f"__max_{c}": "max" for c in max_cols})
+    merged = tree_merge(ds.map_batches(_partial, batch_format="pyarrow"),
+                        keys, spec)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty root block can arrive schema-less
+            return pd.DataFrame({c: [] for c in
+                                 list(keys) + list(aggs)})
+        out = df[keys].copy()
+        for out_col, (how, c) in aggs.items():
+            if how == "count":
+                src = df["__n"] if c is None else df[f"__cnt_{c}"]
+                out[out_col] = src.astype("int64")
+            elif how == "sum":
+                out[out_col] = df[f"__sum_{c}"]
+            elif how == "avg":
+                out[out_col] = (df[f"__sum_{c}"].astype("float64")
+                                / df[f"__cnt_{c}"])
+            elif how == "min":
+                out[out_col] = df[f"__min_{c}"]
+            else:
+                out[out_col] = df[f"__max_{c}"]
+        return out
+
+    res = merged.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
+    if having:
+        res = res.filter(expr=having)
+    return res
+
+
 def salt_column(batch: pa.Table, key_col: str, buckets: int = 16,
                 salt_col: str = "_salt") -> pa.Table:
     """Append ``(hash(key) + row_position) % buckets`` — the row-position

@@ -131,7 +131,28 @@ def make_route_fn(cfg: RouteConfig):
     return _route
 
 
-def make_fanout_fn(receivers: list[str], ts_col: str = "@timestamp",
+# the reference's receiver-list entry regex (parseReceiverList,
+# /root/reference/lib/util/parser.js:8-29): comma-separated
+# '<scheme>://<host>/<index>' strings; the index may carry YYYY/MM/DD
+_RECEIVER_LIST_RE = re.compile(r"(\S+://\S+?)/(\S+)$")
+
+
+def parse_receiver_list(receivers: str | None) -> list | None:
+    """``LOGS_RECEIVER_URL``-style comma-separated receiver list ->
+    ``[{"url": ..., "index": ...}, ...]``; entries that don't match
+    map to None exactly like the reference's undefined (parser.js:
+    17-26). Returns None for empty input (parser.js:9-11)."""
+    if not receivers:
+        return None
+    out = []
+    for r in receivers.split(","):
+        m = _RECEIVER_LIST_RE.search(r)
+        out.append({"url": m.group(1), "index": m.group(2)}
+                   if m else None)
+    return out
+
+
+def make_fanout_fn(receivers: list, ts_col: str = "@timestamp",
                    include_primary: bool = True):
     """One-event→many-sinks fan-out — the multi-receiver loop of the ES
     output (context.logsReceivers, elasticsearch.js:210-224): every row
@@ -141,17 +162,43 @@ def make_fanout_fn(receivers: list[str], ts_col: str = "@timestamp",
     input × (1 + len(receivers)); at scale prefer routing receivers to
     distinct partition values over materializing copies upstream of the
     sink write (the copies are zero-copy column substitutions here —
-    only the sink column is new)."""
-    plans = [(tmpl, index_strftime_format(tmpl)) for tmpl in receivers]
+    only the sink column is new).
+
+    Receivers may be index-template strings or ``{"url", "index"}``
+    dicts (the :func:`parse_receiver_list` shape — each reference
+    receiver carries its own endpoint, elasticsearch.js:215-222); with
+    dict receivers every output row also carries a ``receiver_url``
+    column (null on primary rows — the primary's url is transport
+    config, not row data). None entries (unparseable list items) are
+    skipped."""
+    plans = []
+    with_url = any(isinstance(r, dict) for r in receivers if r)
+    for r in receivers:
+        if r is None:
+            continue
+        tmpl = r["index"] if isinstance(r, dict) else r
+        url = r.get("url") if isinstance(r, dict) else None
+        plans.append((tmpl, index_strftime_format(tmpl), url))
 
     def _fan(batch: pa.Table) -> pa.Table:
-        tables = [batch] if include_primary else []
-        i = batch.schema.get_field_index("sink")
-        for tmpl, fmt in plans:
+        base = batch
+        if with_url:
+            base = base.append_column(
+                "receiver_url", pa.nulls(batch.num_rows, pa.string()))
+        tables = [base] if include_primary else []
+        i = base.schema.get_field_index("sink")
+        iu = (base.schema.get_field_index("receiver_url")
+              if with_url else -1)
+        for tmpl, fmt, url in plans:
             if fmt is not None:
-                col = pc.strftime(batch[ts_col], format=fmt)
+                col = pc.strftime(base[ts_col], format=fmt)
             else:
-                col = pa.array([tmpl] * batch.num_rows, pa.string())
-            tables.append(batch.set_column(i, "sink", col))
+                col = pa.array([tmpl] * base.num_rows, pa.string())
+            t = base.set_column(i, "sink", col)
+            if with_url:
+                t = t.set_column(iu, "receiver_url",
+                                 pa.array([url] * base.num_rows,
+                                          pa.string()))
+            tables.append(t)
         return pa.concat_tables(tables)
     return _fan
