@@ -66,7 +66,8 @@ def build_routed(input_path,
                  multiline: bool = False,
                  max_log_size: int | None = None,
                  geoip: dict | None = None,
-                 emit: str = "rows") -> "ray.data.Dataset":
+                 emit: str = "rows",
+                 watch_patterns: bool = False) -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
     One FUSED actor-pool operator carries every stage (state loaded once
@@ -111,6 +112,7 @@ def build_routed(input_path,
             "default_sink": default_sink,
             "detect_severity": detect_severity,
             "max_log_size": max_log_size,
+            "watch_patterns": watch_patterns,
             "json_raw": _json_enrichment_disabled(),  # driver env read
         },
         batch_format="pyarrow", batch_size=None,

@@ -130,7 +130,8 @@ class FlagshipStage:
                  default_sink: str = "sink_default",
                  max_log_size: int | None = None,
                  emit: str = "rows",
-                 json_raw: bool | None = None):
+                 json_raw: bool | None = None,
+                 watch_patterns: bool = False):
         # emit="cube": the stage OUTPUTS per-batch partial cubes instead
         # of parsed rows — the aggregate-only pipeline then never ships
         # row data through the object store (tens of GB at 48M turns);
@@ -144,8 +145,18 @@ class FlagshipStage:
         self.conv_buckets = conv_buckets
         from ..stages.filters import MAX_LOG_SIZE
         self.prep = make_prep_fn(max_size=max_log_size or MAX_LOG_SIZE)
-        self.registry = load_registry(
-            list(pattern_paths) if pattern_paths else None)
+        self._pattern_paths = list(pattern_paths) if pattern_paths \
+            else None
+        self.registry = load_registry(self._pattern_paths)
+        # pattern hot-reload — the fs.watch re-merge of the reference
+        # (lib/parser/mergePatternFiles.js:57-71): load_registry is
+        # mtime-keyed, so re-calling it per batch is one os.stat per
+        # file when nothing changed and a recompile when a pattern
+        # file was edited mid-run; every actor picks the change up at
+        # its next batch. Off by default (a long batch job usually
+        # wants one registry version per run — the version is part of
+        # the checkpoint lineage hash).
+        self.watch_patterns = watch_patterns
         self.mask_cfg = mask_cfg
         self.enricher = Enricher(lookup_ref, key="tool",
                                  detect_severity=detect_severity)
@@ -160,6 +171,8 @@ class FlagshipStage:
         self.json_raw = json_raw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.watch_patterns:
+            self.registry = load_registry(self._pattern_paths)
         b = self.prep(batch)
         b = parse_batch(b, self.registry, json_raw=self.json_raw)
         if self.mask_cfg is not None:

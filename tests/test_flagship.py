@@ -119,3 +119,44 @@ def test_enricher_duplicate_keys_last_wins(ray_session):
     e = Enricher(lookup, key="tool")
     out = e(pa.table({"tool": pa.array(["bash", "sql", "nope"])}))
     assert out["cost"].to_pylist() == ["fresh", "x", None]
+
+
+def test_watch_patterns_hot_reload(ray_session, tool_catalog_path,
+                                   tmp_path):
+    """Pattern hot-reload (mergePatternFiles.js:57-71 fs.watch rebuild):
+    with watch_patterns=True an edited pattern file is recompiled at the
+    actor's next batch; without it the __init__ registry stays pinned
+    (one registry version per run — the checkpoint-lineage default)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    from logagent_js_ray.pipelines.fused import FlagshipStage
+    from logagent_js_ray.stages.enrich import put_lookup
+
+    def pattern(tname):
+        return ("patterns:\n"
+                "  - source: user\n"
+                "    match:\n"
+                f"      - type: {tname}\n"
+                "        regex: '^EV (?P<val>\\d+)$'\n")
+
+    yml = tmp_path / "watch.yml"
+    yml.write_text(pattern("v1_event"))
+    b = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"]), "text": pa.array(["EV 42"]),
+        "tool": pa.array(["none"]),
+        "ts": pa.array([0], pa.timestamp("us"))})
+    kwargs = dict(mask_cfg=None, routes=[("s", ".*")],
+                  pattern_paths=[str(yml)])
+    ref = put_lookup(tool_catalog_path)
+    watched = FlagshipStage(ref, watch_patterns=True, **kwargs)
+    pinned = FlagshipStage(ref, **kwargs)
+    assert watched(b)["_type"][0].as_py() == "v1_event"
+    assert pinned(b)["_type"][0].as_py() == "v1_event"
+    time.sleep(0.02)  # ensure a distinct mtime_ns
+    yml.write_text(pattern("v2_event"))
+    os.utime(yml)
+    assert watched(b)["_type"][0].as_py() == "v2_event"  # reloaded
+    assert pinned(b)["_type"][0].as_py() == "v1_event"   # stays pinned
