@@ -92,6 +92,17 @@ def main(argv=None) -> int:
                 "sinks": res["aggregates"]["by_role"]
                          .groupby("sink")["n"].sum().to_dict(),
             }
+            if args.config and cfg.sql:
+                # sql output-filter queries (sql.js config parity) run
+                # over the written sinks (column-pruned read-back, the
+                # cube pattern) — or the routed stream when no sink dir
+                from .stages.sqlparse import run_sql
+                import ray.data as rd
+                src = (rd.read_parquet(out_dir) if out_dir
+                       else build_routed(input_path, **kwargs))
+                stats["sql"] = {
+                    q: run_sql(src, q).to_pandas().to_dict("records")
+                    for q in cfg.sql}
             print(json.dumps(stats, default=str))
     finally:
         ray.shutdown()

@@ -45,6 +45,7 @@ class PipelineConfig:
     drop_events: dict = field(default_factory=dict)
     max_log_size: int | None = None
     geoip: dict | None = None
+    sql: list[str] = field(default_factory=list)
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -107,6 +108,13 @@ def load_config(path: str) -> PipelineConfig:
             cfg.detect_severity = bool(f_["enrich"].get("detectSeverity"))
         if "dropEvents" in f_:
             cfg.drop_events = f_["dropEvents"]
+        if "sql" in f_:
+            # the reference's sql output filter takes a literal query
+            # string in config (sql.js:10-27: {sql: 'SELECT ...',
+            # interval}); interval is a processing-time flush knob with
+            # no batch analogue (the documented event-time deviation)
+            q = f_["sql"]
+            cfg.sql.append(q["query"] if isinstance(q, dict) else q)
         if "geoip" in f_:
             # geoip output filter (geoip.js:20-53): point at the binary
             # mmdb artifact (maxmindDbDir analogue) OR a GeoLite2 CSV

@@ -187,3 +187,33 @@ def test_config_geoip_end_to_end(ray_session, sf_small,
     # fixture snapshot covers the full IPv4 space -> every IP resolves
     assert with_ip["geo_country"].notna().all()
     assert df.loc[df["client_ip"].isna(), "geo_country"].isna().all()
+
+
+def test_cli_sql_filter(sf_small, tmp_path):
+    """The reference's literal sql output-filter config line drives the
+    distributed sql_select plan from the CLI (sql.js:10-53)."""
+    cfgp = tmp_path / "sql.yml"
+    cfgp.write_text(
+        "input:\n"
+        f"  parquet: {{path: {sf_small}}}\n"
+        "outputFilter:\n"
+        "  - sql:\n"
+        "      query: \"SELECT sink, COUNT(*) AS n FROM ? GROUP BY sink\"\n"
+        "  - sql: \"SELECT sink, SUM(size) AS s FROM ? "
+        "WHERE size > 40 GROUP BY sink HAVING s > 0\"\n"
+        "output:\n"
+        f"  sinks: {{dir: {tmp_path / 'sinks'}}}\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "logagent_js_ray", "--config", str(cfgp),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env={"PYTHONPATH": REPO,
+                                             "PATH": "/usr/bin:/bin",
+                                             "HOME": "/root"},
+        cwd=REPO, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    counts = stats["sql"]["SELECT sink, COUNT(*) AS n FROM ? GROUP BY sink"]
+    assert sum(r["n"] for r in counts) == 5000
+    assert stats["sinks"] == {r["sink"]: r["n"] for r in counts}
+    sums = next(v for k, v in stats["sql"].items() if "SUM" in k)
+    assert all(r["s"] > 0 for r in sums)
