@@ -458,3 +458,88 @@ def test_bm25_contribution_bounds(tfs, sd_scale, nd):
             contrib = (idf * tf * 22 * sd) \
                 // (10 * sd * tf + 3 * sd + 9 * dl * nd)
             assert 0 <= contrib <= (idf * 11) // 5 + 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=st.characters(
+                  blacklist_categories=("Cs",)), max_size=40)),
+    min_size=0, max_size=8))
+def test_poly_gram_buckets_matches_scalar_property(texts):
+    """Vectorized poly gram extraction == scalar Horner reference for
+    ARBITRARY unicode texts (incl. None, empties, space runs, exotic
+    whitespace that must NOT split — only U+0020 does)."""
+    from logagent_js_ray.ops.importance import (BUCKETS, _grams,
+                                                poly_gram_buckets)
+
+    def poly_bucket(g):
+        h = 0
+        for ch in g:
+            h = (h * 0x100000001B3 + ord(ch)) % (1 << 64)
+        return ((h * 0x9E3779B97F4A7C15) % (1 << 64) >> 33) % BUCKETS
+
+    bucket, doc_ix = poly_gram_buckets(texts)
+    got = {}
+    for b, d in zip(bucket.tolist(), doc_ix.tolist()):
+        got.setdefault(d, []).append(b)
+    for i, t in enumerate(texts):
+        want = sorted(poly_bucket(g) for g in _grams(t or ""))
+        assert sorted(got.get(i, [])) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(
+    st.text(alphabet=" abcd", max_size=24), min_size=0, max_size=8),
+    ref=st.lists(st.text(alphabet=" abcd", min_size=1, max_size=24),
+                 min_size=1, max_size=6))
+def test_lm_vectorized_matches_scalar_property(texts, ref):
+    """Vectorized LM scoring == _doc_cost for arbitrary space-y texts
+    against an arbitrary small trained LM — pure per-batch check (the
+    map_batches closure body), no Ray session churn per example."""
+    import math
+
+    import pyarrow as pa
+    from logagent_js_ray.ops import lm_quality as lq
+
+    # train the LM scalar-side (brute; the Dataset trainer is
+    # oracle-checked elsewhere)
+    big, ctx, vocab = {}, {}, set()
+    for t in ref:
+        w = t.split(" ")
+        for a, b in zip(w[:-1], w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            vocab |= {a, b}
+    v = max(len(vocab), 1)
+    lm = {"bigram": {p: round(1000 * (math.log(ctx[p[0]] + v)
+                                      - math.log(c + 1)))
+                     for p, c in big.items()},
+          "ctx": {a: round(1000 * math.log(n + v))
+                  for a, n in ctx.items()},
+          "oov": round(1000 * math.log(v)), "v": v}
+
+    class FakeRef:
+        """resolve_broadcast cache key standing in for a ray.put ref."""
+
+    ref_key = FakeRef()
+    from logagent_js_ray import ops as _ops
+    _ops._BROADCAST_CACHE[ref_key] = lm
+    try:
+        batch = pa.table({"text": pa.array(texts, pa.string())})
+        # drive the exact map_batches closure without a Dataset
+        captured = {}
+
+        class DS:
+            def map_batches(self, fn, **kw):
+                captured["fn"] = fn
+                return self
+        lq.score_cross_entropy(DS(), ref_key)
+        out = captured["fn"](batch)["ce_milli"].to_pylist() \
+            if texts else []
+        for i, t in enumerate(texts):
+            tot, n = lq._doc_cost(t, lm)
+            assert out[i] == (tot // n if n > 0 else 0)
+    finally:
+        _ops._BROADCAST_CACHE.pop(ref_key, None)
+        lq._LM_STATE.pop(ref_key, None)
