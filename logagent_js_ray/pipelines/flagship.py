@@ -67,7 +67,8 @@ def build_routed(input_path,
                  max_log_size: int | None = None,
                  geoip: dict | None = None,
                  emit: str = "rows",
-                 watch_patterns: bool = False) -> "ray.data.Dataset":
+                 watch_patterns: bool = False,
+                 use_tasks: bool | None = None) -> "ray.data.Dataset":
     """The lazy parse->mask->enrich->route dataset (no consumption).
 
     One FUSED actor-pool operator carries every stage (state loaded once
@@ -101,22 +102,36 @@ def build_routed(input_path,
     if tool_catalog is None:
         tool_catalog = fixgen.ensure_tool_catalog()
     ref = put_lookup(tool_catalog)
-    ds = ds.map_batches(
-        FlagshipStage,
-        fn_constructor_kwargs={
-            "lookup_ref": ref, "mask_cfg": mask,
-            "routes": routes or DEFAULT_ROUTES,
-            "pattern_paths": pattern_paths,
-            "drop_unmatched": drop_unmatched, "acc": acc,
-            "conv_buckets": conv_buckets, "emit": emit,
-            "default_sink": default_sink,
-            "detect_severity": detect_severity,
-            "max_log_size": max_log_size,
-            "watch_patterns": watch_patterns,
-            "json_raw": _json_enrichment_disabled(),  # driver env read
-        },
-        batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency or pool_size())
+    stage_kwargs = {
+        "lookup_ref": ref, "mask_cfg": mask,
+        "routes": routes or DEFAULT_ROUTES,
+        "pattern_paths": pattern_paths,
+        "drop_unmatched": drop_unmatched, "acc": acc,
+        "conv_buckets": conv_buckets, "emit": emit,
+        "default_sink": default_sink,
+        "detect_severity": detect_severity,
+        "max_log_size": max_log_size,
+        "watch_patterns": watch_patterns,
+        "json_raw": _json_enrichment_disabled(),  # driver env read
+    }
+    if use_tasks is None:
+        use_tasks = os.environ.get("GRAFT_FLAGSHIP_TASKS", "1") != "0"
+    if use_tasks:
+        # cached-task mode (default; see fused.make_flagship_task_fn):
+        # identical per-batch semantics, no fixed-pool spin-up. A tuple
+        # concurrency (autoscaling-pool shape) maps to its cap.
+        from .fused import make_flagship_task_fn
+        import uuid
+        cc = max(concurrency) if isinstance(concurrency, tuple) \
+            else concurrency
+        ds = ds.map_batches(
+            make_flagship_task_fn(uuid.uuid4().hex, stage_kwargs),
+            batch_format="pyarrow", batch_size=None, concurrency=cc)
+    else:
+        ds = ds.map_batches(
+            FlagshipStage, fn_constructor_kwargs=stage_kwargs,
+            batch_format="pyarrow", batch_size=None,
+            concurrency=concurrency or pool_size())
     if drop_events:
         from ..stages.filters import make_drop_events_fn
         ds = ds.map_batches(make_drop_events_fn(

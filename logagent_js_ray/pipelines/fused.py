@@ -216,6 +216,34 @@ class FlagshipStage:
         return b
 
 
+_TASK_STAGE_CACHE: dict[str, FlagshipStage] = {}
+
+
+def make_flagship_task_fn(token: str, fn_kwargs: dict):
+    """Stateless-TASK variant of the fused stage (same semantics).
+
+    The per-actor state is microseconds to build (registry load is
+    mtime-cached ~6 ms, prep/mask/route configs are plain objects), so a
+    fixed actor pool pays its ~1-2 s spin-up for nothing on every run —
+    the round-4 scorer lesson (BASELINE.md: pool 3.3 s vs tasks 0.4 s)
+    applied to the flagship itself. Tasks reuse the session's warm
+    worker processes; the first batch on a worker builds a FlagshipStage
+    into a small per-process cache (keyed by a per-pipeline token so two
+    configs in one session never share state), every later batch hits
+    the cache. Also removes the fixed-pool union deadlock class entirely
+    (CLAUDE.md round-3 note) and lets sink-write tasks share CPUs with
+    parse tasks instead of a static 24/8 split."""
+    def fn(batch: pa.Table) -> pa.Table:
+        st = _TASK_STAGE_CACHE.get(token)
+        if st is None:
+            if len(_TASK_STAGE_CACHE) >= 8:  # bound per-worker state
+                _TASK_STAGE_CACHE.clear()
+            st = FlagshipStage(**fn_kwargs)
+            _TASK_STAGE_CACHE[token] = st
+        return st(batch)
+    return fn
+
+
 def write_concurrency() -> int:
     """Parquet-encode writers: more than ~8 concurrent writers contend
     on the disk (measured: 32 unlimited writers are 2x slower than 8),

@@ -42,3 +42,31 @@ def test_sharded_cube_accumulator_equals_readback(ray_session, sf_small,
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     n_parts = ray.get([a.n_batches.remote() for a in accs])
     assert sum(n_parts) >= 2 and sum(1 for n in n_parts if n) >= 2
+
+
+def test_task_mode_equals_actor_mode(ray_session, sf_small,
+                                     tool_catalog_path, tmp_path):
+    """Cached-task fused stage (round-5) must be row- and
+    cube-identical to the actor-pool stage it replaces as the default;
+    the actor path stays live as the GRAFT_FLAGSHIP_TASKS=0 fallback."""
+    from logagent_js_ray.pipelines.flagship import build_routed, \
+        run_flagship
+    key = ["sink", "role", "tool", "time_bucket"]
+    a = run_flagship(sf_small, out_dir=str(tmp_path / "t"),
+                     tool_catalog=tool_catalog_path,
+                     use_tasks=True)["cube"]
+    b = run_flagship(sf_small, out_dir=str(tmp_path / "a"),
+                     tool_catalog=tool_catalog_path,
+                     use_tasks=False)["cube"]
+    a = a.sort_values(key).reset_index(drop=True)[key + ["n", "sum_size"]]
+    b = b.sort_values(key).reset_index(drop=True)[key + ["n", "sum_size"]]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    rows_t = build_routed(sf_small, tool_catalog=tool_catalog_path,
+                          use_tasks=True).to_pandas()
+    rows_a = build_routed(sf_small, tool_catalog=tool_catalog_path,
+                          use_tasks=False).to_pandas()
+    order = ["conv_id", "turn_idx"]
+    rows_t = rows_t.sort_values(order).reset_index(drop=True)
+    rows_a = rows_a.sort_values(order).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rows_t, rows_a[rows_t.columns])
