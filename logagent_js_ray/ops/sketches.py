@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.aggregate import agg_counts
+from ..stages.aggregate import agg_counts, fan_in
 
 
 def _mg_compress(items: np.ndarray, counts: np.ndarray,
@@ -91,12 +91,7 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
 
     sketches = ds.map_batches(partial_sketch, batch_format="pyarrow",
                               batch_size=None)
-    lvl = sketches.repartition(8).map_batches(merge_sketch,
-                                              batch_format="pandas",
-                                              batch_size=None)
-    root = lvl.repartition(1).map_batches(merge_sketch,
-                                          batch_format="pandas",
-                                          batch_size=None).to_pandas()
+    root = fan_in(sketches, merge_sketch).to_pandas()
     n_total = int(root.loc[root["_is_total"], "rows_seen"].sum())
     cand_series = root.loc[~root["_is_total"], col]
     # pandas renders a null candidate as NaN; 'v in {nan}' is False for
@@ -162,13 +157,8 @@ def distinct_count_kmv(ds: "ray.data.Dataset", col: str,
         h = np.unique(df["kmv"].to_numpy())
         return pd.DataFrame({"kmv": h[:k]})
 
-    root = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None)
-            .repartition(8)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .to_pandas())
+    root = fan_in(ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None), merge).to_pandas()
     h = np.sort(root["kmv"].to_numpy())
     if len(h) < k:
         return {"estimate": float(len(h)), "k": k, "exact_if_small": True}
@@ -216,13 +206,8 @@ def approx_quantiles(ds: "ray.data.Dataset", col: str,
         return pd.DataFrame({"q_val": v[np.clip(pos, 0, len(v) - 1)],
                              "q_w": np.full(m, total / m)})
 
-    root = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None)
-            .repartition(8)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .to_pandas())
+    root = fan_in(ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None), merge).to_pandas()
     if len(root) == 0:  # empty / all-null input: NaN per quantile
         return pd.DataFrame({"quantile": list(qs),
                              "value": [np.nan] * len(qs)})

@@ -149,21 +149,59 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
     return _merge
 
 
+# Fan-in geometry for the default tree_merge path: level-1 tasks each
+# coalesce ~LEVEL_ROWS of partial rows (bounded pandas groupby per
+# task); the root coalesces every level-1 output into ONE batch (total
+# level-1 output is #level1-tasks x |key space|, bounded by
+# construction). Row counts, not partition counts — see tree_merge.
+_LEVEL_ROWS = 1 << 18
+_ROOT_ROWS = 1 << 31
+
+
+def fan_in(parts: "ray.data.Dataset", merge_fn,
+           level_rows: int = _LEVEL_ROWS) -> "ray.data.Dataset":
+    """Two-level associative fan-in over small per-block partials as
+    plain STREAMING map operators: ``batch_size`` makes each level-1
+    task coalesce ~level_rows of consecutive partial rows, and the root
+    task coalesce every level-1 output into one batch/block.
+    ``merge_fn`` must be associative and idempotent on merged output
+    (true for groupby-reduce partials and mergeable sketches).
+
+    Replaces ``repartition(8) ... repartition(1)``: Repartition is an
+    AllToAllOperator, and a task-based upstream map gets FUSED into its
+    split stage, executing under the all-to-all's throttled resource
+    budget (measured: 32-task parse stage ran at parallelism ~1, 8.4 s
+    wall for 7.5 s UDF on 8 CPUs). The fractional num_cpus values are
+    fusion breakers, not resource tuning — map->map fusion adopts the
+    downstream batch_size for bundling, so letting the producer fuse
+    with the root (batch_size=_ROOT_ROWS) would bundle the whole input
+    into ONE task (also observed); distinct ray_remote_args keep the
+    operators separate at the cost of nothing (merge tasks are few and
+    short)."""
+    lvl = parts.map_batches(merge_fn, batch_format="pandas",
+                            batch_size=level_rows, num_cpus=1.01)
+    # root: _ROOT_ROWS exceeds any bounded key space, so every level-1
+    # block lands in ONE bundle -> one task -> one merged output block
+    return lvl.map_batches(merge_fn, batch_format="pandas",
+                           batch_size=_ROOT_ROWS, num_cpus=1.02)
+
+
 def tree_merge(partials: "ray.data.Dataset", keys: list[str],
                spec: dict[str, str], fanout: int = 8,
                partition_by_key: int | None = None) -> "ray.data.Dataset":
     """Associative fan-in merge of per-block partial aggregates.
 
     Default (bounded key space — e.g. the flagship's (sink, role, tool,
-    hour) cube): one intermediate combine level (``fanout``
-    partitions), then a root merge; every task sees at most
-    (keys x fanout-share) rows.
+    hour) cube): a streaming ``fan_in`` (see above) with NO all-to-all.
+    ``fanout`` is kept for signature compatibility; the level-1 task
+    granularity is row-based (_LEVEL_ROWS) because partial row counts,
+    not block counts, bound the merge cost.
 
     ``partition_by_key=P`` (UNBOUNDED key space — content digests,
     fingerprints, conv ids): partials are hash-partitioned on the
     first key into P groups and merged per partition, so no single
-    task ever holds every distinct key — the ``repartition(1)`` root
-    of the default shape would funnel the whole key space through one
+    task ever holds every distinct key — the single-batch root of the
+    default shape would funnel the whole key space through one
     process. Output arrives as P merged blocks (same rows, no global
     root)."""
     merge = _merge_fn(keys, spec)
@@ -181,10 +219,7 @@ def tree_merge(partials: "ray.data.Dataset", keys: list[str],
 
         return partials.map_batches(add_p, batch_format="pyarrow") \
             .groupby(pcol).map_groups(merge_drop_p, batch_format="pandas")
-    lvl = partials.repartition(fanout).map_batches(
-        merge, batch_format="pandas", batch_size=None)
-    return lvl.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None)
+    return fan_in(partials, merge)
 
 
 def agg_counts(ds: "ray.data.Dataset", keys: list[str],
