@@ -42,6 +42,16 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Per-op resource reservation splits the CPU budget EQUALLY across
+    # the task operators of a chain, so a linear read->parse->merge
+    # pipeline caps its heavy stage at ~1/3 of the cluster (measured:
+    # sfbench agg at 8 CPUs ran the fused parse at 3 concurrent tasks,
+    # 171 s; disabled: full 8-wide, 87 s). Our chains' intermediate
+    # outputs are tiny partials, so the reservation buys no safety
+    # here. Session-owner setting (CLAUDE.md: library code never
+    # touches the session); GRAFT_OP_RESERVATION=1 restores default.
+    if os.environ.get("GRAFT_OP_RESERVATION", "0") != "1":
+        ctx.op_resource_reservation_enabled = False
 
     from logagent_js_ray.fixtures.gen import fixture_dir_for
     from logagent_js_ray.pipelines import queries as q
@@ -136,11 +146,18 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # levels are the in-sandbox stand-in for N- vs 4N-node clusters.
+    # Default 8v32 fully subscribes the box at the high leg; 4v16 keeps
+    # BOTH legs below the host's measured memory-bandwidth ceiling
+    # (tools/mp_scaling.py), isolating pipeline scaling from the
+    # shared-box artifact (see BASELINE.md round-5 notes).
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
     settle = int(os.environ.get("GRAFT_SCALING_SETTLE", "25"))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    out = {"metric": "scaling efficiency (turns/s at 8 vs 32 cpus)",
-           "unit": "efficiency", "trials": trials}
+    out = {"metric": f"scaling efficiency (turns/s at {lo} vs {hi} cpus)",
+           "unit": "efficiency", "trials": trials,
+           "levels": [lo, hi]}
 
     def best_of(trials: int) -> dict:
         # the sandbox host has noisy neighbors (idle load spikes >20);
@@ -172,10 +189,10 @@ def run_scaling() -> dict:
         r_lo, r_hi = both[lo], both[hi]
         tps_lo, tps_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
         suffix = "" if mode == "sink" else "_agg"
-        out[f"sec_8{suffix}"] = r_lo["value"]
-        out[f"sec_32{suffix}"] = r_hi["value"]
-        out[f"turns_per_sec_8{suffix}"] = tps_lo
-        out[f"turns_per_sec_32{suffix}"] = tps_hi
+        out[f"sec_{lo}{suffix}"] = r_lo["value"]
+        out[f"sec_{hi}{suffix}"] = r_hi["value"]
+        out[f"turns_per_sec_{lo}{suffix}"] = tps_lo
+        out[f"turns_per_sec_{hi}{suffix}"] = tps_hi
         out[f"efficiency{suffix}"] = round((tps_hi / tps_lo) / (hi / lo), 3)
         out["sf"], out["turns"] = r_hi["sf"], r_hi["turns"]
     out["value"] = out.get("efficiency_agg", out.get("efficiency"))

@@ -36,6 +36,12 @@ def main(argv=None) -> int:
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    # Session-owner executor tuning (mirrors bench.py; see BASELINE.md):
+    # per-op resource reservation splits the CPU budget equally across a
+    # linear chain's task operators, capping the heavy parse stage at
+    # ~1/N of the cluster. Our chains' intermediates are tiny partials.
+    if os.environ.get("GRAFT_OP_RESERVATION", "0") != "1":
+        DataContext.get_current().op_resource_reservation_enabled = False
 
     from .pipelines.flagship import (DEFAULT_MASK, DEFAULT_ROUTES,
                                      build_routed, run_flagship)

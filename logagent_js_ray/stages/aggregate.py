@@ -179,11 +179,11 @@ def fan_in(parts: "ray.data.Dataset", merge_fn,
     operators separate at the cost of nothing (merge tasks are few and
     short)."""
     lvl = parts.map_batches(merge_fn, batch_format="pandas",
-                            batch_size=level_rows, num_cpus=1.01)
+                            batch_size=level_rows, num_cpus=0.01)
     # root: _ROOT_ROWS exceeds any bounded key space, so every level-1
     # block lands in ONE bundle -> one task -> one merged output block
     return lvl.map_batches(merge_fn, batch_format="pandas",
-                           batch_size=_ROOT_ROWS, num_cpus=1.02)
+                           batch_size=_ROOT_ROWS, num_cpus=0.02)
 
 
 def tree_merge(partials: "ray.data.Dataset", keys: list[str],
