@@ -207,7 +207,19 @@ def run_flagship(input_path: str, out_dir: str | None = None,
     import time as _time
     _dbg = os.environ.get("GRAFT_TIMING") == "1"
     _t0 = _time.time()
+    # cube source for sink mode: "readback" (default; column-pruned
+    # second scan of the written sinks) or "acc" (sharded zero-CPU
+    # CubeAccumulator pool fed inside the write pass — one scan total).
+    # Read-back won the 8M-turn A/B against the then-single accumulator
+    # (+14 s serializing partials through one mailbox); the sharded pool
+    # removes that funnel, so keep both behind a switch and measure.
+    cube_from = os.environ.get("GRAFT_CUBE_FROM", "readback")
     if out_dir:
+        accs = None
+        if cube_from == "acc" and "acc" not in kwargs:
+            from .fused import cube_pool
+            accs = cube_pool(8)
+            kwargs = dict(kwargs, acc=accs)
         routed = build_routed(input_path, conv_buckets=conv_buckets,
                               **kwargs)
         if sort_output:
@@ -233,12 +245,17 @@ def run_flagship(input_path: str, out_dir: str | None = None,
         if _dbg:
             print(f"[timing] write: {_time.time() - _t0:.1f}s", flush=True)
             _t0 = _time.time()
-        cols = ["sink", "role", "tool", "@timestamp", "size"]
-        back = ray.data.read_parquet(out_dir, columns=cols)
-        cube = agg_counts(
-            back.map_batches(make_time_bucket_fn(), batch_format="pyarrow",
-                             batch_size=None),
-            ["sink", "role", "tool", "time_bucket"], sum_cols=["size"])
+        if accs is not None:
+            from .fused import merged_cube
+            cube = merged_cube(accs)
+        else:
+            cols = ["sink", "role", "tool", "@timestamp", "size"]
+            back = ray.data.read_parquet(out_dir, columns=cols)
+            cube = agg_counts(
+                back.map_batches(make_time_bucket_fn(),
+                                 batch_format="pyarrow", batch_size=None),
+                ["sink", "role", "tool", "time_bucket"],
+                sum_cols=["size"])
     else:
         # aggregate-only consumption: the fused stage emits per-block
         # partial cubes directly (emit="cube"), so no row data crosses
@@ -249,7 +266,7 @@ def run_flagship(input_path: str, out_dir: str | None = None,
                                 emit="cube", **kwargs)
         cube = tree_merge(partials, ["sink", "role", "tool", "time_bucket"],
                           {"n": "sum", "sum_size": "sum"})
-    cube_df = cube.to_pandas()
+    cube_df = cube if isinstance(cube, pd.DataFrame) else cube.to_pandas()
     if _dbg:
         print(f"[timing] cube: {_time.time() - _t0:.1f}s", flush=True)
     return {

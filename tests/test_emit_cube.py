@@ -44,6 +44,23 @@ def test_sharded_cube_accumulator_equals_readback(ray_session, sf_small,
     assert sum(n_parts) >= 2 and sum(1 for n in n_parts if n) >= 2
 
 
+def test_cube_from_acc_equals_readback(ray_session, sf_small,
+                                       tool_catalog_path, tmp_path,
+                                       monkeypatch):
+    """GRAFT_CUBE_FROM=acc (sink write + sharded-accumulator cube in ONE
+    pass) must return the exact read-back cube."""
+    from logagent_js_ray.pipelines.flagship import run_flagship
+    key = ["sink", "role", "tool", "time_bucket"]
+    a = run_flagship(sf_small, out_dir=str(tmp_path / "rb"),
+                     tool_catalog=tool_catalog_path)["cube"]
+    monkeypatch.setenv("GRAFT_CUBE_FROM", "acc")
+    b = run_flagship(sf_small, out_dir=str(tmp_path / "acc"),
+                     tool_catalog=tool_catalog_path)["cube"]
+    a = a.sort_values(key).reset_index(drop=True)[key + ["n", "sum_size"]]
+    b = b.sort_values(key).reset_index(drop=True)[key + ["n", "sum_size"]]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_task_mode_equals_actor_mode(ray_session, sf_small,
                                      tool_catalog_path, tmp_path):
     """Cached-task fused stage (round-5) must be row- and
