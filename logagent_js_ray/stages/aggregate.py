@@ -126,6 +126,20 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
+        if not keys:
+            # global aggregate (SELECT with no GROUP BY): the whole
+            # frame reduces to one row — same reducers, no grouper
+            parts = {}
+            for col, how in spec.items():
+                if how == "sum":
+                    parts[col] = [df[col].sum(min_count=1)]
+                elif how == "min":
+                    parts[col] = [df[col].min()]
+                elif how == "max":
+                    parts[col] = [df[col].max()]
+                else:  # pragma: no cover
+                    raise ValueError(how)
+            return pd.DataFrame(parts)
         g = df.groupby(keys, dropna=False, sort=False)
         parts = {}
         for col, how in spec.items():
@@ -236,6 +250,35 @@ def agg_counts(ds: "ray.data.Dataset", keys: list[str],
     return tree_merge(partials, keys, spec)
 
 
+def _distinct_counts(ds: "ray.data.Dataset", keys: list[str],
+                     d: str) -> dict[tuple, int]:
+    """Exact per-group distinct count of column ``d``: per-block
+    distinct (keys, d) pairs -> tree merge (dedup across blocks) ->
+    driver count over the bounded pair table. Returns {group key tuple
+    (NaN/NaT -> None): count}; groups absent from the dict have no
+    non-null ``d`` (SQL COUNT(DISTINCT) = 0)."""
+    pair_keys = list(keys) + [d]
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(pair_keys).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "__n"}.get(c, c) for c in g.column_names]) \
+            .combine_chunks()
+
+    merged = tree_merge(ds.map_batches(_pairs, batch_format="pyarrow"),
+                        pair_keys, {"__n": "sum"})
+    pairs = merged.to_pandas()
+    pairs = pairs[pairs[d].notna()]
+    if not keys:
+        return {(): int(pairs[d].nunique())}
+    cnt = pairs.groupby(keys, dropna=False).size()
+    out: dict[tuple, int] = {}
+    for kv, v in cnt.items():
+        kt = kv if isinstance(kv, tuple) else (kv,)
+        out[tuple(None if pd.isna(x) else x for x in kt)] = int(v)
+    return out
+
+
 def sql_select(ds: "ray.data.Dataset", keys: list[str],
                aggs: dict[str, tuple],
                where: str | None = None,
@@ -246,15 +289,21 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
     fixed count/sum cube covered only its test query).
 
     ``aggs``: {out_col: (how, col)} with how in {"count", "sum",
-    "min", "max", "avg"}; ("count", None) is count(*), ("count", c)
-    counts non-null. ``where`` is a Ray filter expression applied
-    UPSTREAM of the per-block partials (predicate pushdown: filtered
-    rows never enter the exchange). ``avg`` stays mergeable as
-    (sum, non-null count) partials and divides at the finish (SQL
-    null semantics — float64 output; callers needing the oracle's
-    integer contract derive from sum/count themselves). ``having``
-    filters the tiny merged result. One partial pass + tree merge —
-    the same no-groupby-aggregate shape as agg_counts."""
+    "min", "max", "avg", "count_distinct"}; ("count", None) is
+    count(*), ("count", c) counts non-null. ``where`` is a Ray filter
+    expression applied UPSTREAM of the per-block partials (predicate
+    pushdown: filtered rows never enter the exchange). ``avg`` stays
+    mergeable as (sum, non-null count) partials and divides at the
+    finish (SQL null semantics — float64 output; callers needing the
+    oracle's integer contract derive from sum/count themselves).
+    ``count_distinct`` is EXACT: per-block distinct (keys, col) pairs
+    -> tree merge over keys+[col] (bounded by |groups| x |distinct
+    col|; for high-cardinality columns use the KMV sketch in
+    ops/sketches instead) -> one root count per group, nulls excluded
+    per SQL; the input is materialized internally because each
+    distinct column re-consumes it. ``having`` filters the tiny merged
+    result. One partial pass + tree merge — the same
+    no-groupby-aggregate shape as agg_counts."""
     if where:
         ds = ds.filter(expr=where)
     sum_cols = sorted({c for h, c in aggs.values()
@@ -263,9 +312,20 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
                        if h in ("avg", "count") and c})
     min_cols = sorted({c for h, c in aggs.values() if h == "min"})
     max_cols = sorted({c for h, c in aggs.values() if h == "max"})
+    dist_cols = sorted({c for h, c in aggs.values()
+                        if h == "count_distinct"})
     for h, _ in aggs.values():
-        if h not in ("count", "sum", "min", "max", "avg"):
+        if h not in ("count", "sum", "min", "max", "avg",
+                     "count_distinct"):
             raise ValueError(f"unsupported aggregate {h!r}")
+    dist_lookup: dict[str, dict[tuple, int]] = {}
+    if dist_cols:
+        # the main partial pass plus one distinct-pair pass per column
+        # each consume ds — hold it in the object store once (the
+        # dsir_select rationale)
+        ds = ds.materialize()
+        for d in dist_cols:
+            dist_lookup[d] = _distinct_counts(ds, keys, d)
 
     def _partial(batch: pa.Table) -> pa.Table:
         specs = [([], "count_all")]
@@ -305,6 +365,17 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
             elif how == "avg":
                 out[out_col] = (df[f"__sum_{c}"].astype("float64")
                                 / df[f"__cnt_{c}"])
+            elif how == "count_distinct":
+                lk = dist_lookup[c]
+                if keys:
+                    vals = [lk.get(tuple(None if pd.isna(x) else x
+                                         for x in row), 0)
+                            for row in df[keys].itertuples(index=False,
+                                                           name=None)]
+                else:
+                    vals = [lk.get((), 0)] * len(df)
+                out[out_col] = pd.Series(vals, index=df.index,
+                                         dtype="int64")
             elif how == "min":
                 out[out_col] = df[f"__min_{c}"]
             else:
@@ -313,6 +384,20 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
 
     res = merged.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+    if not keys:
+        # SQL: a global aggregate always yields exactly one row, even
+        # over zero input rows (COUNT -> 0, SUM/MIN/MAX/AVG -> NULL).
+        # Zero input blocks never reach `finish`, so pin here — the
+        # global result is one row, materializing it is free.
+        res = res.materialize()
+        if res.count() == 0:
+            row = {}
+            for out_col, (how, _c) in aggs.items():
+                if how in ("count", "count_distinct"):
+                    row[out_col] = pd.Series([0], dtype="int64")
+                else:
+                    row[out_col] = pd.Series([None], dtype="float64")
+            res = ray.data.from_pandas(pd.DataFrame(row))
     if having:
         res = res.filter(expr=having)
     return res

@@ -13,8 +13,10 @@ the reference's configs and tests, plus WHERE/HAVING/AVG):
     SELECT <item> [, <item> ...] FROM ?
       [WHERE <predicate>] [GROUP BY <col> [, <col> ...]]
       [HAVING <predicate>]
+      [ORDER BY <out> [ASC|DESC] [, ...]] [LIMIT <n>]
 
-    item       := COUNT(*) | COUNT(col) | SUM(col) | MIN(col)
+    item       := COUNT(*) | COUNT(col) | COUNT(DISTINCT col)
+                  | SUM(col) | MIN(col)
                   | MAX(col) | AVG(col)   [AS alias]
                   | col [AS alias]              (must be GROUPed)
     predicate  := SQL comparison/boolean expression over columns —
@@ -22,11 +24,15 @@ the reference's configs and tests, plus WHERE/HAVING/AVG):
                   lowercased) into the Ray Dataset filter-expression
                   language; string literals pass through quoted.
 
-Unnamed aggregates get deterministic names: ``n`` for COUNT(*), else
-``{fn}_{col}`` (``sum_size``) — the same convention as agg_counts.
-Joins, subqueries, ORDER BY, expressions inside aggregates and
-SELECT * are out of grammar and raise ValueError loudly at config
-time (the no-silent-subset rule).
+ORDER BY names OUTPUT columns (aliases included) and sorts the tiny
+merged result (a distributed sort over |groups| rows — free at the
+sql filter's group cardinalities); LIMIT composes after it (top-N).
+A LIMIT without a total-order ORDER BY is the same arbitrary-pick
+alasql gives. Unnamed aggregates get deterministic names: ``n`` for
+COUNT(*), else ``{fn}_{col}`` (``sum_size``, ``count_distinct_path``).
+Joins, subqueries, expressions inside aggregates, DISTINCT outside
+COUNT and SELECT * are out of grammar and raise ValueError loudly at
+config time (the no-silent-subset rule).
 """
 
 from __future__ import annotations
@@ -37,12 +43,18 @@ _SQL_RE = re.compile(
     r"^\s*select\s+(?P<items>.+?)\s+from\s+\?"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<group>.+?))?"
-    r"(?:\s+having\s+(?P<having>.+?))?\s*;?\s*$",
+    r"(?:\s+having\s+(?P<having>.+?))?"
+    r"(?:\s+order\s+by\s+(?P<order>.+?))?"
+    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S)
 
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>count|sum|min|max|avg)\s*\(\s*(?P<col>\*|[A-Za-z_]\w*)\s*\)"
+    r"^(?P<fn>count|sum|min|max|avg)\s*\(\s*(?:(?P<dist>distinct)\s+)?"
+    r"(?P<col>\*|[A-Za-z_]\w*)\s*\)"
     r"(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I)
+
+_ORDER_ITEM_RE = re.compile(
+    r"^(?P<col>[A-Za-z_]\w*)(?:\s+(?P<dir>asc|desc))?$", re.I)
 
 _KEY_ITEM_RE = re.compile(
     r"^(?P<col>[A-Za-z_]\w*)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$", re.I)
@@ -104,6 +116,12 @@ def parse_sql(sql: str) -> dict:
         if am:
             fn = am.group("fn").lower()
             col = am.group("col")
+            if am.group("dist"):
+                if fn != "count" or col == "*":
+                    raise ValueError(
+                        f"DISTINCT is only supported inside COUNT(col) "
+                        f"(got {item!r})")
+                fn = "count_distinct"
             if col == "*":
                 if fn != "count":
                     raise ValueError(f"{fn.upper()}(*) is not SQL")
@@ -132,11 +150,27 @@ def parse_sql(sql: str) -> dict:
             keys.append(g)
     if not aggs:
         raise ValueError("sql-filter query needs at least one aggregate")
+    out_names = {key_aliases.get(k, k) for k in keys} | set(aggs)
+    order: list[tuple[str, bool]] = []
+    for raw in (m.group("order") or "").split(","):
+        item = raw.strip()
+        if not item:
+            continue
+        om = _ORDER_ITEM_RE.match(item)
+        if not om:
+            raise ValueError(f"unsupported ORDER BY item: {item!r}")
+        col = om.group("col")
+        if col not in out_names:
+            raise ValueError(f"ORDER BY column {col!r} is not an output "
+                             f"column (have {sorted(out_names)})")
+        order.append((col, (om.group("dir") or "asc").lower() == "desc"))
     return {"keys": keys, "key_aliases": key_aliases, "aggs": aggs,
             "where": (_translate_predicate(m.group("where"))
                       if m.group("where") else None),
             "having": (_translate_predicate(m.group("having"))
-                       if m.group("having") else None)}
+                       if m.group("having") else None),
+            "order": order,
+            "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
 def run_sql(ds: "ray.data.Dataset", sql: str) -> "ray.data.Dataset":
@@ -156,4 +190,9 @@ def run_sql(ds: "ray.data.Dataset", sql: str) -> "ray.data.Dataset":
             return b.rename_columns([ren.get(c, c)
                                      for c in b.column_names])
         out = out.map_batches(rename, batch_format="pyarrow")
+    if spec["order"]:
+        out = out.sort([c for c, _ in spec["order"]],
+                       descending=[d for _, d in spec["order"]])
+    if spec["limit"] is not None:
+        out = out.limit(spec["limit"])
     return out

@@ -51,6 +51,68 @@ def test_parse_rejects_out_of_grammar():
         parse_sql("SELECT size + 1 FROM ? GROUP BY path")
 
 
+def test_parse_count_distinct_order_limit():
+    spec = parse_sql(
+        "SELECT severity, COUNT(DISTINCT host) AS hosts, COUNT(*) AS n "
+        "FROM ? GROUP BY severity ORDER BY n DESC, severity LIMIT 3")
+    assert spec["aggs"]["hosts"] == ("count_distinct", "host")
+    assert spec["order"] == [("n", True), ("severity", False)]
+    assert spec["limit"] == 3
+    # deterministic default name
+    spec2 = parse_sql("SELECT COUNT(DISTINCT host) FROM ? GROUP BY severity")
+    assert spec2["aggs"] == {"count_distinct_host": ("count_distinct", "host")}
+    # DISTINCT only inside COUNT(col); ORDER BY must name an output col
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse_sql("SELECT SUM(DISTINCT size) FROM ? GROUP BY path")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse_sql("SELECT COUNT(DISTINCT *) FROM ? GROUP BY path")
+    with pytest.raises(ValueError, match="not an output"):
+        parse_sql("SELECT COUNT(*) AS n FROM ? GROUP BY path ORDER BY size")
+
+
+def test_parse_global_aggregate():
+    # no GROUP BY is legal when every item is an aggregate (the most
+    # common sql-filter query in the reference's docs: a global COUNT)
+    spec = parse_sql("SELECT COUNT(*) AS c FROM ? WHERE severity = 'error'")
+    assert spec["keys"] == [] and spec["aggs"] == {"c": ("count", None)}
+
+
+def test_run_sql_count_distinct_order_limit(ray_session):
+    import ray.data
+    rows = [{"severity": sv, "host": h, "size": s}
+            for sv, h, s in [("error", "a", 10), ("info", "b", 20),
+                             ("error", "a", 30), ("warn", "c", 5),
+                             ("info", "b", 15), ("error", "b", 25),
+                             (None, "a", 7)]]
+    ds = ray.data.from_items(rows)
+    out = run_sql(
+        ds, "SELECT severity, COUNT(*) AS n, COUNT(DISTINCT host) AS hosts, "
+            "SUM(size) AS total FROM ? GROUP BY severity "
+            "ORDER BY n DESC, severity LIMIT 2").to_pandas()
+    assert out["severity"].tolist() == ["error", "info"]
+    assert out["hosts"].tolist() == [2, 1]
+    assert out["total"].tolist() == [65, 35]
+
+
+def test_run_sql_global_aggregate(ray_session):
+    import ray.data
+    ds = ray.data.from_items(
+        [{"host": h, "size": s} for h, s in
+         [("a", 10), ("b", 20), ("a", 30), (None, 5)]])
+    out = run_sql(ds, "SELECT COUNT(*) AS n, COUNT(DISTINCT host) AS hosts, "
+                      "AVG(size) AS mean, MIN(size) AS lo FROM ?").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n"] == 4 and out.iloc[0]["hosts"] == 2
+    assert out.iloc[0]["mean"] == 16.25 and out.iloc[0]["lo"] == 5
+    # SQL: a global aggregate over zero rows is still ONE row
+    empty = run_sql(ds, "SELECT COUNT(*) AS n, SUM(size) AS total FROM ? "
+                        "WHERE size > 1000").to_pandas()
+    assert len(empty) == 1
+    assert empty.iloc[0]["n"] == 0
+    import pandas as pd
+    assert pd.isna(empty.iloc[0]["total"])
+
+
 def test_run_sql_end_to_end(ray_session):
     import ray.data
     rows = [{"path": p, "size": s, "status": st}
