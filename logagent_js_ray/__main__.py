@@ -107,8 +107,9 @@ def main(argv=None) -> int:
                 src = (rd.read_parquet(out_dir) if out_dir
                        else build_routed(input_path, **kwargs))
                 stats["sql"] = {
-                    q: run_sql(src, q).to_pandas().to_dict("records")
-                    for q in cfg.sql}
+                    q: run_sql(src, q, approx_distinct=ad)
+                    .to_pandas().to_dict("records")
+                    for q, ad in cfg.sql}
             print(json.dumps(stats, default=str))
     finally:
         ray.shutdown()

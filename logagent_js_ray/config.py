@@ -45,7 +45,8 @@ class PipelineConfig:
     drop_events: dict = field(default_factory=dict)
     max_log_size: int | None = None
     geoip: dict | None = None
-    sql: list[str] = field(default_factory=list)
+    # (query string, approx_distinct k or None) per sql output filter
+    sql: list[tuple] = field(default_factory=list)
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -114,7 +115,12 @@ def load_config(path: str) -> PipelineConfig:
             # interval}); interval is a processing-time flush knob with
             # no batch analogue (the documented event-time deviation)
             q = f_["sql"]
-            cfg.sql.append(q["query"] if isinstance(q, dict) else q)
+            if isinstance(q, dict):
+                # approxDistinct: k opts COUNT(DISTINCT) into the KMV
+                # sketch scale mode (see stages/sqlparse.run_sql)
+                cfg.sql.append((q["query"], q.get("approxDistinct")))
+            else:
+                cfg.sql.append((q, None))
         if "geoip" in f_:
             # geoip output filter (geoip.js:20-53): point at the binary
             # mmdb artifact (maxmindDbDir analogue) OR a GeoLite2 CSV

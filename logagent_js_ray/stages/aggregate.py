@@ -279,10 +279,70 @@ def _distinct_counts(ds: "ray.data.Dataset", keys: list[str],
     return out
 
 
+def _distinct_counts_kmv(ds: "ray.data.Dataset", keys: list[str],
+                         d: str, k: int = 1024) -> dict[tuple, int]:
+    """Approximate per-group distinct count — the 100-TB path for
+    COUNT(DISTINCT) over high-cardinality columns, where the exact
+    pair table (|groups| x |distinct d|) stops being 'bounded'. Each
+    block contributes at most k value-hashes PER GROUP (the k-minimum-
+    values sketch, Bar-Yossef et al. 2002 — same estimator as
+    ops/sketches.distinct_count_kmv, here grouped); merges union +
+    re-truncate per group, so exchange volume is |groups| x k uint64s
+    regardless of column cardinality. Exact whenever a group holds
+    fewer than k distinct hashes; relative error ~1/sqrt(k) otherwise
+    (~3% at k=1024). Same return shape as _distinct_counts."""
+    from ..ops.sketches import _KMV_PRIME, _kmv_hashes
+
+    def _truncate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df = df.sort_values("__kmv", kind="stable")
+        if keys:
+            return df.groupby(keys, dropna=False, sort=False).head(k)
+        return df.head(k)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([(kc, batch.schema.field(kc).type)
+                            for kc in keys] + [("__kmv", pa.uint64())])
+        arr = batch[d]
+        if arr.null_count:
+            batch = batch.filter(pc.is_valid(arr))
+        if batch.num_rows == 0:  # pinned empty schema (round-4 ADVICE)
+            return schema.empty_table()
+        vals = batch[d].to_numpy(zero_copy_only=False)
+        df = (batch.select(keys).to_pandas() if keys
+              else pd.DataFrame(index=pd.RangeIndex(batch.num_rows)))
+        df["__kmv"] = _kmv_hashes(vals)
+        return pa.Table.from_pandas(_truncate(df), schema=schema,
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return _truncate(df)
+
+    root = fan_in(ds.map_batches(_pairs, batch_format="pyarrow"),
+                  _merge).to_pandas()
+    out: dict[tuple, int] = {}
+    if not keys:
+        groups = [((), root)] if len(root) else []
+    else:
+        groups = [(kv if isinstance(kv, tuple) else (kv,), g)
+                  for kv, g in root.groupby(keys, dropna=False)]
+    for kt, g in groups:
+        h = np.sort(g["__kmv"].to_numpy())
+        est = (len(h) if len(h) < k
+               else int(round((k - 1) / (float(h[k - 1]) /
+                                         float(_KMV_PRIME)))))
+        out[tuple(None if pd.isna(x) else x for x in kt)] = est
+    return out
+
+
 def sql_select(ds: "ray.data.Dataset", keys: list[str],
                aggs: dict[str, tuple],
                where: str | None = None,
-               having: str | None = None) -> "ray.data.Dataset":
+               having: str | None = None,
+               approx_distinct: int | None = None) -> "ray.data.Dataset":
     """General sql-output-filter SELECT (round-4 verdict item #5 —
     the reference's alasql accepts arbitrary aggregate queries over
     the window buffer, lib/plugins/output-filter/sql.js:29-53; the
@@ -296,13 +356,17 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
     mergeable as (sum, non-null count) partials and divides at the
     finish (SQL null semantics — float64 output; callers needing the
     oracle's integer contract derive from sum/count themselves).
-    ``count_distinct`` is EXACT: per-block distinct (keys, col) pairs
-    -> tree merge over keys+[col] (bounded by |groups| x |distinct
-    col|; for high-cardinality columns use the KMV sketch in
-    ops/sketches instead) -> one root count per group, nulls excluded
-    per SQL; the input is materialized internally because each
-    distinct column re-consumes it. ``having`` filters the tiny merged
-    result. One partial pass + tree merge — the same
+    ``count_distinct`` is EXACT by default: per-block distinct (keys,
+    col) pairs -> tree merge over keys+[col] (bounded by |groups| x
+    |distinct col|) -> one root count per group, nulls excluded per
+    SQL; the input is materialized internally because each distinct
+    column re-consumes it. ``approx_distinct=k`` switches every
+    count_distinct to the per-group KMV sketch (_distinct_counts_kmv
+    — exchange bounded by |groups| x k regardless of cardinality,
+    ~1/sqrt(k) relative error, exact below k distinct): the declared
+    approximation for high-cardinality columns at scale; the exact
+    mode stays the oracle contract. ``having`` filters the tiny
+    merged result. One partial pass + tree merge — the same
     no-groupby-aggregate shape as agg_counts."""
     if where:
         ds = ds.filter(expr=where)
@@ -325,7 +389,9 @@ def sql_select(ds: "ray.data.Dataset", keys: list[str],
         # dsir_select rationale)
         ds = ds.materialize()
         for d in dist_cols:
-            dist_lookup[d] = _distinct_counts(ds, keys, d)
+            dist_lookup[d] = (
+                _distinct_counts_kmv(ds, keys, d, k=approx_distinct)
+                if approx_distinct else _distinct_counts(ds, keys, d))
 
     def _partial(batch: pa.Table) -> pa.Table:
         specs = [([], "count_all")]

@@ -173,16 +173,21 @@ def parse_sql(sql: str) -> dict:
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
-def run_sql(ds: "ray.data.Dataset", sql: str) -> "ray.data.Dataset":
+def run_sql(ds: "ray.data.Dataset", sql: str,
+            approx_distinct: int | None = None) -> "ray.data.Dataset":
     """Execute a reference-style ``sql:`` config query distributed:
     parse, run :func:`..stages.aggregate.sql_select`, apply key
     aliases. Event-time windowing composes upstream exactly as in the
     reference (its windows are the buffer-flush interval; here a
-    time-bucket column in GROUP BY — see stages/aggregate docstring)."""
+    time-bucket column in GROUP BY — see stages/aggregate docstring).
+    ``approx_distinct=k`` switches COUNT(DISTINCT) to the per-group
+    KMV sketch (YAML: ``sql: {query: ..., approxDistinct: k}``) — the
+    declared high-cardinality scale mode; exact is the default."""
     from .aggregate import sql_select
     spec = parse_sql(sql)
     out = sql_select(ds, spec["keys"], spec["aggs"],
-                     where=spec["where"], having=spec["having"])
+                     where=spec["where"], having=spec["having"],
+                     approx_distinct=approx_distinct)
     if spec["key_aliases"]:
         ren = spec["key_aliases"]
 

@@ -108,3 +108,39 @@ def test_sql_select_count_only_empty(ray_session):
                                        "avg_size": ("avg", "size")}) \
         .to_pandas()
     assert len(out) == 0
+
+
+def test_sql_select_approx_distinct_kmv(ray_session):
+    import ray.data
+
+    from logagent_js_ray.stages.aggregate import sql_select
+
+    # below k the sketch IS the distinct set: exact agreement with the
+    # exact mode, including a null-keyed group and null values of d
+    df = pd.DataFrame({
+        "g": (["a"] * 40 + ["b"] * 30 + [None] * 10),
+        "v": ([f"x{i % 13}" for i in range(40)]
+              + [f"y{i % 7}" for i in range(30)]
+              + [None] * 10),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    aggs = {"u": ("count_distinct", "v"), "n": ("count", None)}
+    exact = sql_select(ds, ["g"], aggs).to_pandas() \
+        .sort_values("g", na_position="last").reset_index(drop=True)
+    approx = sql_select(ds, ["g"], aggs, approx_distinct=64).to_pandas() \
+        .sort_values("g", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, approx)
+    assert exact["u"].tolist() == [13, 7, 0]
+
+    # above k: estimate within the sketch's error band, and the
+    # exchange stays k rows per group per block by construction
+    big = pd.DataFrame({"g": ["hot"] * 20000,
+                        "v": [f"id-{i}" for i in range(20000)]})
+    dsb = ray.data.from_pandas(big).repartition(8)
+    est = sql_select(dsb, ["g"], {"u": ("count_distinct", "v")},
+                     approx_distinct=512).to_pandas()["u"].iloc[0]
+    assert abs(est - 20000) / 20000 < 0.15  # ~1/sqrt(512) ≈ 4.4%
+    # global (no GROUP BY) sketch path
+    gl = sql_select(dsb, [], {"u": ("count_distinct", "v")},
+                    approx_distinct=512).to_pandas()["u"].iloc[0]
+    assert gl == est
