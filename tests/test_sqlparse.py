@@ -70,6 +70,17 @@ def test_parse_count_distinct_order_limit():
         parse_sql("SELECT COUNT(*) AS n FROM ? GROUP BY path ORDER BY size")
 
 
+def test_parse_having_then_order_limit():
+    # HAVING's non-greedy group must stop at ORDER BY, not swallow it
+    spec = parse_sql("SELECT path, COUNT(*) AS n FROM ? GROUP BY path "
+                     "HAVING n > 1 ORDER BY n DESC LIMIT 1")
+    assert spec["having"] == "n > 1"
+    assert spec["order"] == [("n", True)] and spec["limit"] == 1
+    spec2 = parse_sql("SELECT path, COUNT(*) AS n FROM ? "
+                      "GROUP BY path LIMIT 5")
+    assert spec2["order"] == [] and spec2["limit"] == 5
+
+
 def test_parse_global_aggregate():
     # no GROUP BY is legal when every item is an aggregate (the most
     # common sql-filter query in the reference's docs: a global COUNT)
