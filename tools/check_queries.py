@@ -69,7 +69,7 @@ def _dtype_family(dt) -> str:
     return "object"
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -80,6 +80,12 @@ def main(sf_dir: str) -> int:
     import __ray_entry__ as entry_mod
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -147,8 +153,15 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    # usage: check_queries.py [sf_dir] [--only name1,name2]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    rc = main(sf, only=only)
     import ray
     ray.shutdown()
     sys.exit(rc)
