@@ -105,6 +105,18 @@ def test_run_sql_count_distinct_order_limit(ray_session):
     assert out["total"].tolist() == [65, 35]
 
 
+def test_run_sql_order_by_key_alias(ray_session):
+    import ray.data
+    ds = ray.data.from_items(
+        [{"path": p, "size": s} for p, s in
+         [("/a", 1), ("/b", 2), ("/c", 3), ("/b", 4)]])
+    out = run_sql(ds, "SELECT path AS p, SUM(size) AS s FROM ? "
+                      "GROUP BY path ORDER BY p DESC LIMIT 2").to_pandas()
+    assert out.columns.tolist() == ["p", "s"]
+    assert out["p"].tolist() == ["/c", "/b"]
+    assert out["s"].tolist() == [3, 6]
+
+
 def test_run_sql_global_aggregate(ray_session):
     import ray.data
     ds = ray.data.from_items(
