@@ -332,3 +332,51 @@ def gelf_reassemble(ds: "ray.data.Dataset",
 
     return (ds.map_batches(key, batch_format="pyarrow")
             .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
+
+
+_DOCKER_STREAMS = {0: "stdin", 1: "stdout", 2: "stderr"}
+
+
+def docker_stream_demux(batch: pa.Table, body_col: str = "body",
+                        source_col: str = "source") -> pa.Table:
+    """Docker attach/logs multiplexed stream framing (the Engine API's
+    public stdcopy format — 8-byte header ``[stream, 0, 0, 0,
+    len_be32]`` + chunk; docker-loghose consumes exactly these frames
+    for the reference's input/docker/docker.js when a container runs
+    without a TTY). One input row = one captured byte stream per
+    container (``source`` = container id); frames concatenate per
+    stream type and the rebuilt byte stream line-splits (loghose's
+    ``newline: true``), yielding one ``(source, stream, line)`` row per
+    log line, stream 0/1/2 named stdin/stdout/stderr. A truncated
+    trailing frame or an unterminated final line is still emitted (the
+    batch reader sees a closed capture, not a live tail); unknown
+    stream bytes pass through with their numeric name."""
+    bodies = batch[body_col].to_pylist()
+    sources = (batch[source_col].to_pylist()
+               if source_col in batch.column_names
+               else [None] * batch.num_rows)
+    out_src, out_stream, out_line = [], [], []
+    for src, payload in zip(sources, bodies):
+        if payload is None:
+            continue
+        if isinstance(payload, str):
+            payload = payload.encode("latin-1")
+        per_stream: dict[int, bytearray] = {}
+        i = 0
+        while i + 8 <= len(payload):
+            stream = payload[i]
+            size = int.from_bytes(payload[i + 4:i + 8], "big")
+            chunk = payload[i + 8:i + 8 + size]
+            per_stream.setdefault(stream, bytearray()).extend(chunk)
+            i += 8 + size
+        for stream in sorted(per_stream):
+            text = per_stream[stream].decode("utf-8", "replace")
+            for line in text.splitlines():
+                out_src.append(src)
+                out_stream.append(_DOCKER_STREAMS.get(stream, str(stream)))
+                out_line.append(line)
+    return pa.table({
+        "source": pa.array(out_src, pa.string()),
+        "stream": pa.array(out_stream, pa.string()),
+        "line": pa.array(out_line, pa.string()),
+    })

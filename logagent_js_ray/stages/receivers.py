@@ -132,3 +132,77 @@ def k8s_events_format(batch: pa.Table, body_col: str = "body",
         out_src.append(_dump(ev))
     return pa.table({"@timestamp": pa.array(out_ts, pa.string()),
                      "source_json": pa.array(out_src, pa.string())})
+
+
+def docker_event_format(batch: pa.Table, body_col: str = "body",
+                        hostname: str = "host") -> pa.Table:
+    """Docker daemon event normalization — the format half of
+    /root/reference/lib/plugins/input/docker/dockerEvents.js:17-95
+    (the live half, a dockerode events subscription over the daemon
+    socket, is a protocol daemon and stays at the edge; each event JSON
+    arrives here as one row). Per event:
+
+      * ``status`` defaults to ``"{Type} {Action}"`` (js:21-25);
+      * ``Actor.Attributes`` promote: ``container``->``id``, ``name``->
+        ``containerName`` (skipped for network events), ``image``->
+        ``imageName``; all attributes flatten into ``"k:v, k2:v2"``
+        ``message`` in key order (js:26-46);
+      * ``msgStr = 'Docker Event: {status} {containerName||from||""}
+        {id||""} {message||""}'`` (js:48-56);
+      * output fields + ``tags=['docker', host, status, id[:12]]``
+        (js:57-78) and ``title`` (js:88-92).
+
+    JS artifacts are mirrored observably: missing ``Type`` / ``Action``
+    / ``from`` stringify to ``'undefined'`` (``'' + undefined``,
+    js:58-60). The computed-but-never-emitted ``type`` variable
+    (js:82-87) is dead code in the reference and not reproduced.
+    ``hostname`` stands in for SPM_REPORTED_HOSTNAME || os.hostname().
+    """
+    bodies = batch[body_col].to_pylist()
+    out = []
+    for body in bodies:
+        try:
+            ev = json.loads(body) if body is not None else None
+        except ValueError:
+            continue
+        if not isinstance(ev, dict):
+            continue
+        ev = dict(ev)
+        if ev.get("Type") and not ev.get("status"):
+            ev["status"] = f"{ev['Type']} {ev.get('Action') or ''}"
+        attrs = (ev.get("Actor") or {}).get("Attributes")
+        container_name = image_name = None
+        message = None
+        if isinstance(attrs, dict):
+            if attrs.get("container"):
+                ev["id"] = attrs["container"]
+            if attrs.get("name") and ev.get("Type") != "network":
+                container_name = attrs["name"]
+            if attrs.get("image"):
+                image_name = attrs["image"]
+            message = ", ".join(f"{k}:{v}" for k, v in attrs.items())
+        def _js(v):  # JS '' + undefined
+            return "undefined" if v is None else str(v)
+        status = ev.get("status")
+        evid = ev.get("id")
+        msg_str = (f"Docker Event: {_js(status)} "
+                   f"{container_name or ev.get('from') or ''} "
+                   f"{evid or ''} {message or ''}")
+        tags = ["docker", hostname, status]
+        if isinstance(evid, str):
+            tags.append(evid[:12])
+        out.append(_dump({
+            "dockerEventType": _js(ev.get("Type")),
+            "dockerEventAction": _js(ev.get("Action")),
+            "dockerEventFrom": _js(ev.get("from")),
+            "dockerEventImageName": image_name,
+            "message": msg_str,
+            "image_name": ev.get("from"),
+            "container_id": evid,
+            "container_name": container_name,
+            "dockerEventHost": hostname,
+            "tags": tags,
+            "title": (f"docker {_js(status)} "
+                      f"{container_name or image_name or ''}"),
+        }))
+    return pa.table({"source_json": pa.array(out, pa.string())})
