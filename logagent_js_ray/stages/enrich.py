@@ -102,3 +102,98 @@ class Enricher:
             merged = pc.coalesce(sev, det)
             out = out.set_column(sev_idx, "severity", merged)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Docker per-container logging gate (input/docker/dockerInspect.js)
+
+_FALSY_ENABLED = {"0", "false", "no", False}
+_DEFAULT_TAGGING_LABELS = ("com.docker.*", "io.kubernetes.*",
+                           "annotation.io.*")
+
+
+def _docker_env_var(name: str, env) -> str | None:
+    """dockerInspect.js getEnvVar (js:48-70): labels dict -> exact key
+    (trimmed); env list of 'K=V' strings -> first entry whose key
+    equals ``name``, value = the FIRST '='-segment after the key
+    ('A=b=c' yields 'b' — the reference splits, it doesn't partition).
+    """
+    if not env:
+        return None
+    if isinstance(env, dict):
+        return env[name].strip() if name in env else None
+    for entry in env:
+        if name in entry:
+            rv = entry.split("=")
+            if len(rv) > 1 and rv[0] == name:
+                return rv[1]
+    return None
+
+
+def _docker_glob_tags(pattern: str, labels_or_env, tags: dict) -> None:
+    """dockerInspect.js getValue (js:72-101): minimatch keys of a
+    labels dict, or whole 'K=V' env strings, against ``pattern``;
+    matches land in ``tags`` (env value = first '='-segment)."""
+    import fnmatch
+    if not labels_or_env:
+        return
+    if isinstance(labels_or_env, dict):
+        for k, v in labels_or_env.items():
+            if fnmatch.fnmatchcase(k, pattern):
+                tags[k] = v
+    else:
+        for entry in labels_or_env:
+            if fnmatch.fnmatchcase(entry, pattern):
+                kv = entry.split("=")
+                if len(kv) > 1:
+                    tags[kv[0]] = kv[1]
+
+
+def docker_container_gate(info: dict, default_enabled: bool = True,
+                          tagging_labels=None) -> dict:
+    """Per-container logging decision + tag extraction — the pure half
+    of dockerInspect.js getLogseneEnabled (js:120-181), which docker.js
+    runs in its attachFilter (docker.js:67-78) to decide whether a
+    container's log stream is collected at all:
+
+      * tags: every label key / env entry matching a TAGGING_LABELS
+        glob (default com.docker.*, io.kubernetes.*, annotation.io.* —
+        docker.js:47-53) with '*' appended (js:103-119);
+      * enabled: Labels LOGSENE_ENABLED || LOGS_ENABLED, else the env
+        vars of the same names (LOGS_ENABLED wins when both env vars
+        exist, js:142-147), else ``default_enabled`` (the
+        FINAL_LOGS_ENABLED_DEFAULT conjunction, js:17-22); the values
+        '0'/'false'/'no'/false gate off, anything else on
+        (js:154-173);
+      * token: Labels LOGSENE_TOKEN else env LOGSENE_TOKEN
+        (js:175-180).
+
+    ``info`` is one docker-inspect document ({'Id', 'Name', 'Config':
+    {'Labels': {...}, 'Env': [...]}}). Used as a broadcast-side filter:
+    inspect docs are a tiny per-node table; the gate result joins
+    against log rows by container id in the normal Enricher."""
+    config = info.get("Config") or {}
+    labels = config.get("Labels") or {}
+    env = config.get("Env")
+    tags: dict = {}
+    patterns = list(tagging_labels) if tagging_labels \
+        else list(_DEFAULT_TAGGING_LABELS)
+    for pat in patterns:
+        _docker_glob_tags(pat + "*", labels, tags)
+        _docker_glob_tags(pat + "*", env, tags)
+
+    enabled = labels.get("LOGSENE_ENABLED") or labels.get("LOGS_ENABLED") \
+        or None
+    if enabled is None:
+        for name in ("LOGSENE_ENABLED", "LOGS_ENABLED"):  # js:139-147
+            v = _docker_env_var(name, env)
+            if v is not None:
+                enabled = v
+    if enabled is None:
+        enabled = default_enabled
+    enabled = enabled not in _FALSY_ENABLED
+
+    token = labels.get("LOGSENE_TOKEN") or _docker_env_var(
+        "LOGSENE_TOKEN", env)
+    return {"id": info.get("Id"), "name": info.get("Name"),
+            "enabled": enabled, "token": token, "tags": tags}

@@ -90,3 +90,41 @@ def test_docker_stream_demux_truncated_and_unterminated():
     assert docker_stream_demux(
         pa.table({"source": pa.array([], pa.string()),
                   "body": pa.array([], pa.binary())})).num_rows == 0
+
+
+def _gate(**info_kw):
+    from logagent_js_ray.stages.enrich import docker_container_gate
+    return docker_container_gate(dict(info_kw))
+
+
+def test_container_gate_label_priority_and_falsy():
+    g = _gate(Id="abc", Name="/web",
+              Config={"Labels": {"LOGSENE_ENABLED": "false"},
+                      "Env": ["LOGS_ENABLED=true"]})
+    assert g["enabled"] is False                    # label wins (js:127-132)
+    assert _gate(Config={"Labels": {"LOGS_ENABLED": "no"}})["enabled"] is False
+    assert _gate(Config={"Labels": {"LOGS_ENABLED": "0"}})["enabled"] is False
+    assert _gate(Config={"Labels": {"LOGS_ENABLED": "yes"}})["enabled"] is True
+
+
+def test_container_gate_env_fallback_and_default():
+    # env checked only with no label; LOGS_ENABLED overrides
+    # LOGSENE_ENABLED when both exist (js:142-147)
+    g = _gate(Config={"Env": ["LOGSENE_ENABLED=true", "LOGS_ENABLED=false"]})
+    assert g["enabled"] is False
+    from logagent_js_ray.stages.enrich import docker_container_gate
+    assert docker_container_gate({}, default_enabled=True)["enabled"] is True
+    assert docker_container_gate({}, default_enabled=False)["enabled"] is False
+
+
+def test_container_gate_token_and_tags():
+    g = _gate(Id="abc", Config={
+        "Labels": {"io.kubernetes.pod.name": "p1", "unrelated": "x",
+                   "LOGSENE_TOKEN": "tok-label"},
+        "Env": ["com.docker.compose.service=api", "PATH=/bin",
+                "LOGSENE_TOKEN=tok-env"]})
+    assert g["token"] == "tok-label"                # label beats env
+    assert g["tags"] == {"io.kubernetes.pod.name": "p1",
+                         "com.docker.compose.service": "api"}
+    g2 = _gate(Config={"Env": ["LOGSENE_TOKEN=tok=extra"]})
+    assert g2["token"] == "tok"                     # first '='-segment only
